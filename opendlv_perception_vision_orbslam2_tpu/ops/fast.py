@@ -1,0 +1,109 @@
+"""FAST-16 corner detection as a dense, whole-image vectorized kernel.
+
+The reference runs OpenCV ``cv::FAST`` per 30x30 cell with a threshold
+fallback (reference: src/orbextractor.cpp:950-956) and scores corners for the
+quadtree by Harris/FAST response.  A per-cell scalar loop is the opposite of
+what the TPU wants, so here the segment test runs on *every pixel at once*:
+
+- 16 circle neighbours materialize as 16 shifted views (XLA fuses the shifts),
+- the "9 contiguous brighter/darker" test is an OR over the 16 circular
+  9-windows of AND-reduced comparisons,
+- the response is OpenCV's V-score: the largest threshold at which the pixel
+  stays a corner = max over arcs of (min over the 9-arc of |p_i - p|),
+- 3x3 non-max suppression is a max-pool compare.
+
+Everything is branch-free elementwise VPU work on [H, W] arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .image import max_pool_3x3_same
+
+# Bresenham circle of radius 3, OpenCV pixel order, as (dy, dx).
+CIRCLE_OFFSETS = (
+    (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (-2, 2), (-1, 3),
+)
+# Full 16-point circle in circular order (clockwise from 12 o'clock).
+CIRCLE16 = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+ARC_LEN = 9  # contiguous run length for FAST-9/16 (OpenCV K=8 means >8)
+
+
+def _neighbor_stack(img):
+    """[16, H, W] stack of the circle neighbours via shifted slices of a
+    padded image (cheap; XLA keeps it fused)."""
+    H, W = img.shape
+    p = jnp.pad(img, 3, mode="edge")
+    views = [p[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for (dy, dx) in CIRCLE16]
+    return jnp.stack(views, axis=0)
+
+
+def fast_score_map(img, threshold: float):
+    """Dense FAST-9/16 response.
+
+    Returns ``scores [H, W]`` float32: 0 where not a corner, else the V-score
+    (max threshold at which the segment test still passes).  Matches the
+    semantics OpenCV uses for NMS ordering; used here to rank candidates for
+    the per-cell top-k distribution that replaces DistributeOctTree
+    (reference: src/orbextractor.cpp:680-904, intentional approximation per
+    SURVEY.md section 7).
+    """
+    img = img.astype(jnp.float32)
+    nb = _neighbor_stack(img)            # [16, H, W]
+    diff = nb - img[None]                # p_i - p
+
+    def arc_response(d):
+        # windowed min over all 16 circular 9-windows: [16, H, W]
+        m = d
+        # min over window of 9 via 8 rolled minima (tree would save a few ops;
+        # XLA fuses either way)
+        w = m
+        for j in range(1, ARC_LEN):
+            w = jnp.minimum(w, jnp.roll(m, -j, axis=0))
+        return jnp.max(w, axis=0)        # best arc per pixel
+
+    bright = arc_response(diff)          # >0 iff exists arc of 9 all > p
+    dark = arc_response(-diff)           # >0 iff exists arc of 9 all < p
+    v = jnp.maximum(bright, dark)
+    is_corner = v > threshold
+    return jnp.where(is_corner, v, 0.0)
+
+
+def fast_with_fallback(img, ini_threshold: float, min_threshold: float):
+    """Two-threshold FAST identical in spirit to the reference's retry
+    (reference: src/orbextractor.cpp:950-962: try iniThFAST=20, if a cell is
+    empty retry with minThFAST=7).
+
+    Dense form: compute the min-threshold score map once; a pixel's score
+    already encodes the max passing threshold, so cells that have any
+    score > ini use those, and cells with none fall back to score > min.
+    The per-cell selection happens in the extractor (per-cell top-k), so here
+    we simply return the min-threshold map plus a boolean "strong" mask.
+    """
+    scores = fast_score_map(img, min_threshold)
+    strong = scores > ini_threshold
+    return scores, strong
+
+
+def nms_scores(scores):
+    """3x3 non-max suppression: keep only local maxima."""
+    local_max = max_pool_3x3_same(scores)
+    return jnp.where(scores >= local_max, scores, 0.0)
+
+
+def mask_border(scores, border: int):
+    """Zero responses within ``border`` px of the image edge (the reference
+    clamps detection to EDGE_THRESHOLD-3 and descriptors need 19,
+    reference: src/orbextractor.cpp:133-135, 916-921)."""
+    H, W = scores.shape
+    out = jnp.zeros_like(scores)
+    if H <= 2 * border or W <= 2 * border:
+        return out
+    return out.at[border : H - border, border : W - border].set(
+        scores[border : H - border, border : W - border]
+    )

@@ -1,0 +1,104 @@
+"""Hamming-distance kernels over packed 256-bit ORB descriptors.
+
+One kernel family serves all nine matcher variants of the reference
+(DescriptorDistance SWAR popcount, reference: src/orbmatcher.cpp:1662-1676,
+called from every Search*/Fuse routine).  Two implementations:
+
+- ``hamming_matrix``: XOR + ``lax.population_count`` on uint32 words (VPU).
+- ``hamming_matrix_mxu``: bit-unpack to bfloat16 {0,1} and use the identity
+  ``ham(a,b) = popcnt(a) + popcnt(b) - 2 * <a_bits, b_bits>`` so the inner
+  product of ``[N,256] x [256,M]`` rides the MXU systolic array — the
+  fastest path for the all-pairs matrices used in BoW-free brute matching.
+
+Distances are exact integers in [0, 256]; TH_LOW=50 / TH_HIGH=100 gates match
+the reference constants (reference: src/orbmatcher.cpp:36-38).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .orb import unpack_bits
+
+TH_LOW = 50
+TH_HIGH = 100
+MAX_DIST = 256
+
+
+def hamming_matrix(a, b):
+    """All-pairs distances: ``uint32 [N,8] x [M,8] -> int32 [N,M]``."""
+    x = jax.lax.population_count(a[:, None, :] ^ b[None, :, :])
+    return jnp.sum(x, axis=-1).astype(jnp.int32)
+
+
+def hamming_matrix_mxu(a, b):
+    """MXU path: exact distances via bf16 bit-dot (values are small integers,
+    exactly representable in bf16's 8-bit mantissa range <= 256)."""
+    ab = unpack_bits(a).astype(jnp.bfloat16)          # [N, 256]
+    bb = unpack_bits(b).astype(jnp.bfloat16)          # [M, 256]
+    dot = jax.lax.dot_general(
+        ab, bb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # [N, M]
+    pa = jnp.sum(ab, axis=1, dtype=jnp.float32)[:, None]
+    pb = jnp.sum(bb, axis=1, dtype=jnp.float32)[None, :]
+    return (pa + pb - 2.0 * dot).astype(jnp.int32)
+
+
+def hamming_pairwise(a, b):
+    """Row-wise distances ``uint32 [N,8] x [N,8] -> int32 [N]``."""
+    return jnp.sum(jax.lax.population_count(a ^ b), axis=-1).astype(jnp.int32)
+
+
+def masked_best2(dist, col_mask):
+    """Per-row best and second-best over masked columns.
+
+    ``dist [N, M]`` int32, ``col_mask [N, M]`` bool (candidate gating — the
+    array analogue of the reference's grid/scale/BoW-node candidate lists).
+    Returns (best_idx [N], best [N], second [N]); masked-out entries read as
+    MAX_DIST+1 so "no candidate" is detectable.
+    """
+    big = MAX_DIST + 1
+    d = jnp.where(col_mask, dist, big)
+    best_idx = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(big)
+    second = jnp.min(d2, axis=1)
+    return best_idx, best, second
+
+
+def mutual_check(best_ab, best_ba):
+    """Cross-check: a->b and b->a agree. ``best_ab [N]``, ``best_ba [M]``."""
+    n = best_ab.shape[0]
+    back = jnp.take(best_ba, best_ab, axis=0)
+    return back == jnp.arange(n)
+
+
+def rotation_consistency_mask(angle_a, angle_b, matched, valid, histo_len: int = 30):
+    """Keep only matches whose angle difference falls in the 3 dominant
+    orientation-histogram bins.
+
+    Array form of ComputeThreeMaxima + the rot-hist filter used by every
+    matcher (reference: src/orbmatcher.cpp:1618-1660 and e.g. :498-529).
+    ``angle_a [N]`` radians, ``angle_b [M]``, ``matched [N]`` index into b,
+    ``valid [N]`` bool.  Returns bool ``[N]``.
+    """
+    two_pi = 2.0 * jnp.pi
+    rot = angle_a - jnp.take(angle_b, matched, axis=0)
+    rot = jnp.mod(rot, two_pi)
+    bin_idx = jnp.floor(rot * (histo_len / two_pi)).astype(jnp.int32)
+    bin_idx = jnp.clip(bin_idx, 0, histo_len - 1)
+    counts = jnp.zeros((histo_len,), jnp.int32).at[bin_idx].add(
+        valid.astype(jnp.int32)
+    )
+    # top-3 bins (reference keeps bins 1..3 only if within 10% of max)
+    top3 = jax.lax.top_k(counts, 3)
+    kth = top3[0]
+    keep_bin = jnp.zeros((histo_len,), bool)
+    max1 = kth[0]
+    for i in range(3):
+        ok = kth[i].astype(jnp.float32) > 0.1 * max1.astype(jnp.float32)
+        keep_bin = keep_bin.at[top3[1][i]].set(ok)
+    return valid & jnp.take(keep_bin, bin_idx, axis=0)
