@@ -1,0 +1,191 @@
+"""ORB feature extraction pipeline (pyramid -> FAST -> distribute -> describe).
+
+TPU-native re-design of OrbExtractor::ExtractFeatures (reference:
+src/orbextractor.cpp:582-642):
+
+- the per-cell scalar FAST loops (reference: src/orbextractor.cpp:906-994)
+  become one dense score map per pyramid level;
+- DistributeOctTree's pointer quadtree (reference: src/orbextractor.cpp:680-904)
+  becomes a *per-cell top-k + breadth-first global selection*: candidates are
+  ranked (cell-slot, response) so every cell's best corner is taken before any
+  cell's second-best — the same spatial-uniformity objective with fully static
+  shapes (intentional approximation, SURVEY.md section 7);
+- the ini/min FAST threshold fallback (reference: src/orbextractor.cpp:950-962)
+  is preserved: strong (>= iniThFAST) corners outrank weak (>= minThFAST) ones
+  inside each cell, so weak corners surface only where no strong ones exist;
+- orientation + steered BRIEF run as batched gathers per level.
+
+The whole function jits once per image shape; both stereo images batch through
+it via vmap (replacing the reference's two extraction threads,
+reference: src/orbframe.cpp:73-76).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fast as fast_ops
+from ..ops import image as image_ops
+from ..ops import orb as orb_ops
+from ..utils.config import OrbConfig
+from .frame import Features
+
+EDGE_BORDER = 16  # detection border, reference EDGE_THRESHOLD-3 (src/orbextractor.cpp:916)
+CANDIDATES_PER_CELL = 4
+
+
+def per_level_budgets(n_features: int, scale_factor: float, n_levels: int) -> list[int]:
+    """Geometric per-level feature budgets (reference ctor,
+    src/orbextractor.cpp:497-510: last level absorbs the remainder)."""
+    factor = 1.0 / scale_factor
+    n_desired = n_features * (1.0 - factor) / (1.0 - factor ** n_levels)
+    budgets = []
+    acc = 0
+    for _ in range(n_levels - 1):
+        b = int(round(n_desired))
+        budgets.append(b)
+        acc += b
+        n_desired *= factor
+    budgets.append(max(n_features - acc, 0))
+    return budgets
+
+
+def _select_level_keypoints(scores, strong, budget: int, cell: int):
+    """Spatially-uniform top-``budget`` selection from a dense score map.
+
+    Returns (xy [budget, 2] float32 level coords, response [budget], valid).
+    """
+    H, W = scores.shape
+    ncy = math.ceil(H / cell)
+    ncx = math.ceil(W / cell)
+    pad_y, pad_x = ncy * cell - H, ncx * cell - W
+    s = jnp.pad(scores, ((0, pad_y), (0, pad_x)))
+    st = jnp.pad(strong, ((0, pad_y), (0, pad_x)))
+
+    # [ncy*ncx, cell*cell] per-cell flattening.
+    cells = s.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(-1, cell * cell)
+    cells_strong = (
+        st.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(-1, cell * cell)
+    )
+    # Strong corners dominate within the cell (threshold-fallback semantics).
+    in_cell_key = jnp.where(cells > 0, cells + 1e6 * cells_strong, -1.0)
+    k = min(CANDIDATES_PER_CELL, cell * cell)
+    top_vals, top_idx = jax.lax.top_k(in_cell_key, k)      # [C, k]
+
+    # Global breadth-first key: slot rank beats response, so cell coverage is
+    # maximized before densifying any one cell (quadtree-equivalent).
+    resp = jnp.where(top_vals > 0, jnp.minimum(top_vals, 1e6 - 1.0), 0.0)
+    resp = jnp.where(resp >= 1e6 - 1.0, top_vals - 1e6, resp)  # strip strong bonus
+    slot = jnp.broadcast_to(jnp.arange(k)[None, :], top_vals.shape)
+    global_key = jnp.where(
+        top_vals > 0, (k - 1 - slot).astype(jnp.float32) * 1e4 + resp, -1.0
+    )
+
+    flat_key = global_key.reshape(-1)
+    flat_resp = resp.reshape(-1)
+    flat_idx = top_idx.reshape(-1)
+    cell_id = jnp.arange(flat_key.shape[0]) // k
+    if flat_key.shape[0] < budget:  # tiny images (tests): pad candidate pool
+        deficit = budget - flat_key.shape[0]
+        flat_key = jnp.pad(flat_key, (0, deficit), constant_values=-1.0)
+        flat_resp = jnp.pad(flat_resp, (0, deficit))
+        flat_idx = jnp.pad(flat_idx, (0, deficit))
+        cell_id = jnp.pad(cell_id, (0, deficit))
+    sel_key, sel = jax.lax.top_k(flat_key, budget)
+
+    sel_cell = jnp.take(cell_id, sel)
+    sel_local = jnp.take(flat_idx, sel)
+    cy = sel_cell // ncx
+    cx = sel_cell % ncx
+    ly = sel_local // cell
+    lx = sel_local % cell
+    y = (cy * cell + ly).astype(jnp.float32)
+    x = (cx * cell + lx).astype(jnp.float32)
+    response = jnp.take(flat_resp, sel)
+    valid = sel_key > 0
+    return jnp.stack([x, y], axis=-1), response, valid
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def extract_features(img, config: OrbConfig) -> Features:
+    """Full ORB extraction for one grayscale image ``[H, W]`` float32."""
+    levels = image_ops.build_pyramid(img, config.n_levels, config.scale_factor)
+    return extract_from_pyramid(levels, config)
+
+
+def extract_from_pyramid(levels: Sequence, config: OrbConfig) -> Features:
+    """ORB extraction given a prebuilt pyramid (lets callers reuse the levels
+    for the stereo SAD atlas without recomputing them).
+
+    Returns :class:`Features` padded to ``config.max_keypoints``; keypoint
+    coords are level-0 pixels (scaled back up like the reference,
+    src/orbextractor.cpp:630-641).
+    """
+    budgets = per_level_budgets(config.n_features, config.scale_factor, config.n_levels)
+
+    xs, resps, octs, angs, descs, valids = [], [], [], [], [], []
+    for lvl, (level_img, budget) in enumerate(zip(levels, budgets)):
+        scores, strong = fast_ops.fast_with_fallback(
+            level_img, float(config.ini_th_fast), float(config.min_th_fast)
+        )
+        scores = fast_ops.nms_scores(scores)
+        scores = fast_ops.mask_border(scores, EDGE_BORDER)
+        xy, response, valid = _select_level_keypoints(
+            scores, strong, budget, config.cell_size
+        )
+        angle = orb_ops.ic_angles(level_img, xy)
+        blurred = image_ops.gaussian_blur(level_img)
+        desc = orb_ops.brief_descriptors(blurred, xy, angle)
+
+        scale = jnp.float32(config.scale_factor ** lvl)
+        xs.append(xy * scale)
+        resps.append(response)
+        octs.append(jnp.full((budget,), lvl, jnp.int32))
+        angs.append(angle)
+        descs.append(desc)
+        valids.append(valid)
+
+    xy = jnp.concatenate(xs, axis=0)
+    response = jnp.concatenate(resps, axis=0)
+    octave = jnp.concatenate(octs, axis=0)
+    angle = jnp.concatenate(angs, axis=0)
+    desc = jnp.concatenate(descs, axis=0)
+    valid = jnp.concatenate(valids, axis=0)
+
+    # Pad to the static keypoint capacity.
+    cap = config.max_keypoints
+    n = xy.shape[0]
+    if n > cap:
+        raise ValueError(f"n_features {n} exceeds max_keypoints {cap}")
+    pad = cap - n
+
+    def padded(a, fill=0):
+        widths = ((0, pad),) + tuple((0, 0) for _ in a.shape[1:])
+        return jnp.pad(a, widths, constant_values=fill)
+
+    return Features(
+        xy=padded(xy),
+        response=padded(response),
+        octave=padded(octave),
+        angle=padded(angle),
+        desc=padded(desc),
+        valid=padded(valid, False),
+        u_right=padded(-jnp.ones((n,), jnp.float32), -1),
+        depth=padded(-jnp.ones((n,), jnp.float32), -1),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def extract_stereo_pair(img_left, img_right, config: OrbConfig):
+    """Batched L/R extraction — the vmap analogue of the reference's two
+    extraction threads (reference: src/orbframe.cpp:73-76)."""
+    stacked = jnp.stack([img_left, img_right], axis=0)
+    feats = jax.vmap(lambda im: extract_features(im, config))(stacked)
+    left = jax.tree.map(lambda a: a[0], feats)
+    right = jax.tree.map(lambda a: a[1], feats)
+    return left, right

@@ -1,0 +1,59 @@
+"""Stereo frame front-end: images in, FrameState out (one jitted call).
+
+Array re-design of the stereo OrbFrame constructor (reference:
+src/orbframe.cpp:61-88: two extraction threads + ComputeStereoMatches +
+AssignFeaturesToGrid) — here pyramid building, extraction for both eyes,
+stereo matching and unprojection fuse into a single XLA program.  The bucket
+grid is unnecessary: candidate gating happens with dense masks in the
+matchers (see ops/hamming.py), which is how a TPU prefers it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import image as image_ops
+from ..ops import lie
+from ..ops import stereo as stereo_ops
+from ..utils.config import SystemConfig
+from .extractor import extract_from_pyramid
+from .frame import Features, FrameState
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def process_stereo(img_left, img_right, config: SystemConfig, timestamp=0.0):
+    """Grayscale stereo pair ``[H, W]`` float32 -> :class:`FrameState`.
+
+    Pose initializes to identity; tracking owns pose estimation.
+    """
+    cam = config.camera
+    orb = config.orb
+
+    levels_l = image_ops.build_pyramid(img_left, orb.n_levels, orb.scale_factor)
+    levels_r = image_ops.build_pyramid(img_right, orb.n_levels, orb.scale_factor)
+
+    feat_l = extract_from_pyramid(levels_l, orb)
+    feat_r = extract_from_pyramid(levels_r, orb)
+
+    atlas_l, offsets = stereo_ops.build_atlas(levels_l)
+    atlas_r, _ = stereo_ops.build_atlas(levels_r)
+    u_right, depth = stereo_ops.stereo_match(
+        feat_l, feat_r, atlas_l, atlas_r, offsets,
+        orb.scale_factor, cam.fx, cam.bf,
+    )
+    feat_l = feat_l._replace(u_right=u_right, depth=depth)
+
+    point_cam = lie.backproject(
+        feat_l.xy, jnp.maximum(depth, 1e-6), cam.fx, cam.fy, cam.cx, cam.cy
+    )
+    point_cam = jnp.where(depth[:, None] > 0, point_cam, 0.0)
+
+    return FrameState(
+        features=feat_l,
+        T_cw=jnp.eye(4, dtype=jnp.float32),
+        point_cam=point_cam,
+        timestamp=jnp.asarray(timestamp, jnp.float32),
+    )

@@ -1,0 +1,142 @@
+"""Synthetic stereo world: rendered corner sprites + ground-truth trajectory.
+
+The reference has no test fixtures at all — its de-facto integration test is
+a KITTI directory none of which ships with the repo (SURVEY.md section 4).
+This module provides the miniature synthetic trajectory the new test strategy
+calls for: a random 3-D point cloud rendered as high-contrast square sprites
+with bilinear sub-pixel splatting, so the full front-end (FAST -> descriptors
+-> stereo SAD -> tracking -> BA) can run end-to-end with known ground truth
+and measurable ATE, offline and deterministically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie
+from ..utils.config import SystemConfig
+
+
+class SyntheticWorld(NamedTuple):
+    points: jnp.ndarray       # [M, 3] world points
+    intensities: jnp.ndarray  # [M] sprite brightness
+    phases: jnp.ndarray       # [M, 2] sprite asymmetry (descriptor diversity)
+
+
+def make_world(n_points: int = 600, seed: int = 0,
+               x_range=(-25.0, 25.0), y_range=(-4.0, 3.0),
+               z_range=(2.0, 60.0)) -> SyntheticWorld:
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [
+            rng.uniform(*x_range, n_points),
+            rng.uniform(*y_range, n_points),
+            rng.uniform(*z_range, n_points),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    inten = rng.uniform(120.0, 250.0, n_points).astype(np.float32)
+    phases = rng.uniform(-1.0, 1.0, (n_points, 2)).astype(np.float32)
+    return SyntheticWorld(jnp.asarray(pts), jnp.asarray(inten), jnp.asarray(phases))
+
+
+def straight_trajectory(n_frames: int, step: float = 0.35, yaw_rate: float = 0.0):
+    """Ground-truth camera poses T_cw [N, 4, 4]: forward motion along +z with
+    optional constant yaw (world frame = first camera frame)."""
+    poses = []
+    T_wc = np.eye(4, dtype=np.float32)
+    for _ in range(n_frames):
+        poses.append(np.linalg.inv(T_wc).astype(np.float32))
+        dR = np.array(
+            [
+                [np.cos(yaw_rate), 0, np.sin(yaw_rate)],
+                [0, 1, 0],
+                [-np.sin(yaw_rate), 0, np.cos(yaw_rate)],
+            ],
+            dtype=np.float32,
+        )
+        step_T = np.eye(4, dtype=np.float32)
+        step_T[:3, :3] = dR
+        step_T[2, 3] = step
+        T_wc = T_wc @ step_T
+    return jnp.asarray(np.stack(poses))
+
+
+SPRITE_R = 3  # sprite half-size in pixels
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def render_view(T_cw, world: SyntheticWorld, height: int, width: int,
+                fx: float, fy: float, cx: float, cy: float):
+    """Render one grayscale view [H, W] float32 with bilinear sub-pixel splats.
+
+    Each visible point draws a (2R+1)^2 square sprite whose corners trigger
+    FAST; bilinear splatting preserves sub-pixel position so stereo disparity
+    and tracking accuracy are measurable below integer-pixel noise.
+    """
+    pts_cam = lie.transform_points(T_cw[None], world.points[None])[0]
+    uv = lie.project(pts_cam, fx, fy, cx, cy)
+    z = pts_cam[:, 2]
+    visible = (z > 0.5) & (uv[:, 0] > SPRITE_R + 1) & (uv[:, 0] < width - SPRITE_R - 2) \
+        & (uv[:, 1] > SPRITE_R + 1) & (uv[:, 1] < height - SPRITE_R - 2)
+
+    u0 = jnp.floor(uv[:, 0]).astype(jnp.int32)
+    v0 = jnp.floor(uv[:, 1]).astype(jnp.int32)
+    fu = uv[:, 0] - u0
+    fv = uv[:, 1] - v0
+
+    img = jnp.full((height, width), 12.0, jnp.float32)  # dim flat background
+
+    dy, dx = np.mgrid[-SPRITE_R : SPRITE_R + 1, -SPRITE_R : SPRITE_R + 1]
+    dy = jnp.asarray(dy.reshape(-1))
+    dx = jnp.asarray(dx.reshape(-1))
+    # Per-point sprite pattern: asymmetric checker so descriptors differ.
+    pattern = (
+        1.0
+        + 0.35 * jnp.sign(world.phases[:, 0])[:, None] * ((dx[None, :] + dy[None, :]) % 2)
+        + 0.25 * world.phases[:, 1][:, None] * jnp.sign(dx + dy + 0.1)[None, :]
+    )
+    base = world.intensities[:, None] * pattern / jnp.max(pattern)
+    val = jnp.where(visible[:, None], base, 0.0)   # [M, S]
+
+    # Bilinear splat into 4 neighbouring pixel grids.
+    for (oy, ox, w) in (
+        (0, 0, (1 - fu) * (1 - fv)),
+        (0, 1, fu * (1 - fv)),
+        (1, 0, (1 - fu) * fv),
+        (1, 1, fu * fv),
+    ):
+        ys = v0[:, None] + dy[None, :] + oy
+        xs = u0[:, None] + dx[None, :] + ox
+        img = img.at[ys, xs].add(val * w[:, None], mode="drop")
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def render_stereo_sequence(config: SystemConfig, n_frames: int = 30,
+                           n_points: int = 600, seed: int = 0,
+                           step: float = 0.35, yaw_rate: float = 0.0):
+    """Returns (imgs_left [N,H,W], imgs_right [N,H,W], T_cw_gt [N,4,4], world)."""
+    cam = config.camera
+    world = make_world(n_points, seed)
+    poses = straight_trajectory(n_frames, step, yaw_rate)
+
+    baseline = cam.baseline_m
+    T_rl = jnp.asarray(np.array(
+        [[1, 0, 0, -baseline], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        dtype=np.float32,
+    ))
+
+    def render_pair(T_cw):
+        left = render_view(T_cw, world, cam.height, cam.width,
+                           cam.fx, cam.fy, cam.cx, cam.cy)
+        right = render_view(T_rl @ T_cw, world, cam.height, cam.width,
+                            cam.fx, cam.fy, cam.cx, cam.cy)
+        return left, right
+
+    lefts, rights = jax.lax.map(render_pair, poses)
+    return lefts, rights, poses, world
