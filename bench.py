@@ -1,0 +1,97 @@
+"""Benchmark: tracked frames/s per chip on a KITTI-sized synthetic stereo run.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference operates KITTI seq 00 at its --Camera.fps=15
+real-time pacing target (reference: docker-compose.yml:43;
+src/kittirunner.cpp:163-170 sleeps to hold that rate), which is also the
+reference's keyframe-window operating point.  No KITTI data ships in this
+environment (reference dataset dirs are empty stubs), so the bench renders a
+KITTI-geometry synthetic sequence (1241x376, fx=718.856, bf=386.1448,
+2000 ORB features, 8 levels) and measures the fused per-frame SLAM step.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from opendlv_perception_vision_orbslam2_tpu.models.frontend import process_stereo
+    from opendlv_perception_vision_orbslam2_tpu.models.tracking import (
+        init_state,
+        vo_step,
+    )
+    from opendlv_perception_vision_orbslam2_tpu.utils import synthetic, trajectory
+    from opendlv_perception_vision_orbslam2_tpu.utils.config import SystemConfig
+
+    cfg = SystemConfig()  # KITTI 00 geometry + ORB budget defaults
+    n_frames = 24
+    n_timed = 16
+
+    print(f"rendering {n_frames} synthetic KITTI-sized frames...", file=sys.stderr)
+    lefts, rights, gt_poses, _ = synthetic.render_stereo_sequence(
+        cfg, n_frames=n_frames, n_points=900, seed=0, step=0.6
+    )
+    lefts = jax.device_put(lefts)
+    rights = jax.device_put(rights)
+
+    state = init_state(process_stereo(lefts[0], rights[0], cfg))
+
+    def hard_sync(x):
+        # np.asarray forces a real device round-trip; on the tunneled TPU
+        # platform block_until_ready alone does not drain the queue.
+        return np.asarray(jax.tree.leaves(x)[0])
+
+    # Warm-up (compile) on the first frames.
+    t_compile = time.time()
+    inlier_log = []
+    for i in range(1, n_frames - n_timed):
+        state, T = vo_step(state, lefts[i], rights[i], cfg)
+        inlier_log.append(state.n_inliers)
+    hard_sync(state.n_inliers)
+    print(f"compile+warmup: {time.time()-t_compile:.1f}s", file=sys.stderr)
+
+    # Throughput: enqueue the timed frames back-to-back, fetch poses at the
+    # end (pose readout overlaps compute in a real deployment; per-frame
+    # latency is reported separately below).
+    t0 = time.time()
+    pose_handles = []
+    for i in range(n_frames - n_timed, n_frames):
+        state, T = vo_step(state, lefts[i], rights[i], cfg)
+        pose_handles.append(T)
+        inlier_log.append(state.n_inliers)
+    hard_sync(state.n_inliers)
+    dt = time.time() - t0
+    fps = n_timed / dt
+
+    # Per-frame latency with a forced sync each frame (includes tunnel RTT).
+    t0 = time.time()
+    n_lat = 4
+    for i in range(n_frames - n_lat, n_frames):
+        state, T = vo_step(state, lefts[i], rights[i], cfg)
+        hard_sync(T)
+    lat_ms = (time.time() - t0) / n_lat * 1e3
+
+    inliers = [int(x) for x in np.asarray(jax.device_get(inlier_log))]
+    print(f"frames/s={fps:.2f}  latency/frame={lat_ms:.1f} ms  "
+          f"inliers per frame={inliers}", file=sys.stderr)
+    if min(inliers[1:]) < 10:
+        print("WARNING: tracking lost during bench", file=sys.stderr)
+
+    baseline_fps = 15.0  # reference real-time operating point (see docstring)
+    print(json.dumps({
+        "metric": "tracked_frames_per_s_per_chip_kitti_sized_stereo",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

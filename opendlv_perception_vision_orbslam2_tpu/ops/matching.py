@@ -1,0 +1,148 @@
+"""Projection-guided matching (frame <-> frame / frame <-> map).
+
+Array re-design of the ORBmatcher SearchByProjection family
+(frame<->last-frame variant, reference: src/orbmatcher.cpp:1337-1483; the
+frame<->local-map variant :42-128 reuses the same masks with different
+candidate sources).  The reference loops source points, queries the bucket
+grid (GetFeaturesInArea reference: src/orbframe.cpp:308-379), picks the
+best Hamming match and applies the rotation-consistency histogram.  Here:
+
+- "grid query + loops" become one dense ``[K_src, K_dst]`` boolean gate
+  (radius by octave, octave window, stereo right-u agreement),
+- best match per source point is a masked argmin over the Hamming matrix
+  (MXU-friendly),
+- the rotation histogram filter is the shared kernel in ops/hamming.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+from .hamming import (
+    MAX_DIST,
+    TH_HIGH,
+    hamming_matrix,
+    rotation_consistency_mask,
+)
+
+
+class ProjectionMatches(NamedTuple):
+    """Per-source-slot match results (padded, masked)."""
+
+    dst_idx: jnp.ndarray   # [S] best destination feature index
+    dist: jnp.ndarray      # [S] Hamming distance (MAX_DIST+1 when no match)
+    valid: jnp.ndarray     # [S] bool
+
+
+def search_by_projection(
+    p_w,                  # [S, 3] world points to project
+    src_valid,            # [S] bool
+    src_desc,             # [S, 8] uint32 descriptors of the source points
+    src_octave,           # [S] int32 octave (scale prediction source)
+    src_angle,            # [S] float32 (rotation-consistency reference)
+    dst_features,         # Features of the target frame
+    T_cw,                 # [4, 4] predicted target pose
+    *,
+    fx: float, fy: float, cx: float, cy: float, bf: float,
+    width: int, height: int,
+    radius_th: float,      # 7 stereo / 15 mono, x2 on retry (reference
+                           # src/tracking.cpp:718-748)
+    scale_factor: float,
+    max_dist: int = TH_HIGH,
+    check_rotation: bool = True,
+    forward_backward_gating: bool = True,
+    z_motion: jnp.ndarray | None = None,  # scalar tz of T_last->T_cur
+    baseline: float = 0.0,
+    dist=None,                 # optional precomputed Hamming matrix [S, K]
+):
+    """Returns :class:`ProjectionMatches` over source slots.
+
+    ``forward_backward_gating`` mirrors the reference's octave window choice
+    by dominant camera z-motion (reference: src/orbmatcher.cpp:1361-1366,
+    1395-1417): moving forward -> expect features at coarser octaves.
+    """
+    S = p_w.shape[0]
+    p_c = lie.transform_points(T_cw[None], p_w[None])[0]
+    z = p_c[:, 2]
+    uv = lie.project(p_c, fx, fy, cx, cy)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+        & (z > 0.1)
+    )
+    proj_ur = uv[:, 0] - bf / jnp.maximum(z, 0.1)
+
+    radius = radius_th * jnp.power(
+        jnp.float32(scale_factor), src_octave.astype(jnp.float32)
+    )
+
+    d_uv = dst_features.xy[None, :, :] - uv[:, None, :]
+    within = jnp.maximum(jnp.abs(d_uv[..., 0]), jnp.abs(d_uv[..., 1])) <= radius[:, None]
+
+    oct_d = dst_features.octave[None, :]
+    oct_s = src_octave[:, None]
+    if forward_backward_gating and z_motion is not None:
+        forward = z_motion > baseline
+        backward = z_motion < -baseline
+        oct_ok = jnp.where(
+            forward,
+            oct_d >= oct_s,
+            jnp.where(
+                backward,
+                oct_d <= oct_s,
+                jnp.abs(oct_d - oct_s) <= 1,
+            ),
+        )
+    else:
+        oct_ok = jnp.abs(oct_d - oct_s) <= 1
+
+    # stereo right-u agreement (reference: src/orbmatcher.cpp:1422-1427)
+    has_ur = dst_features.u_right[None, :] >= 0
+    ur_ok = jnp.where(
+        has_ur,
+        jnp.abs(proj_ur[:, None] - dst_features.u_right[None, :]) <= radius[:, None],
+        True,
+    )
+
+    gate = (
+        within & oct_ok & ur_ok
+        & src_valid[:, None] & in_img[:, None]
+        & dst_features.valid[None, :]
+    )
+
+    if dist is None:
+        dist = hamming_matrix(src_desc, dst_features.desc)
+    big = MAX_DIST + 1
+    d = jnp.where(gate, dist, big)
+    best = jnp.argmin(d, axis=1)
+    best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+    ok = best_d <= max_dist
+
+    if check_rotation:
+        ok = rotation_consistency_mask(
+            src_angle, dst_features.angle, best, ok
+        )
+
+    return ProjectionMatches(dst_idx=best, dist=best_d, valid=ok)
+
+
+def resolve_duplicate_targets(matches: ProjectionMatches, n_dst: int):
+    """Keep only the lowest-distance source per destination feature
+    (scatter-min), mirroring the reference's implicit one-point-per-keypoint
+    binding in m_mapPoints."""
+    big = MAX_DIST + 1
+    d = jnp.where(matches.valid, matches.dist, big)
+    best_per_dst = jnp.full((n_dst,), big, d.dtype).at[matches.dst_idx].min(d)
+    keep = matches.valid & (d <= jnp.take(best_per_dst, matches.dst_idx))
+    # break remaining ties (two sources with identical distance) by index
+    S = d.shape[0]
+    order = jnp.arange(S)
+    first_at = jnp.full((n_dst,), S).at[matches.dst_idx].min(
+        jnp.where(keep, order, S)
+    )
+    keep = keep & (jnp.take(first_at, matches.dst_idx) == order)
+    return matches._replace(valid=keep)

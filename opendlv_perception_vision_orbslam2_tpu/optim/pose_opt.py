@@ -1,0 +1,142 @@
+"""Pose-only optimization: masked batched Gauss-Newton/LM on one SE3 vertex.
+
+Replaces g2o's PoseOptimization (reference: src/orboptimizer.cpp:248-461):
+a single SE3 vertex with monocular (2D) and stereo (3D) projection edges,
+Huber kernels delta = sqrt(5.991) / sqrt(7.815), run as 4 rounds x 10
+iterations with chi2 inlier reclassification between rounds and the robust
+kernel dropped from round 3 (reference: :379-452, kernel drop at :436-439).
+
+TPU form: all residuals/Jacobians evaluate batched over the static keypoint
+capacity with a validity mask; the normal system is a 6x6 reduction (a
+``psum``-friendly shape for the future sharded version).  No branches — the
+round structure is unrolled, inlier sets are masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+ITS_PER_ROUND = 10
+N_ROUNDS = 4
+
+
+class PoseObs(NamedTuple):
+    """Batched pose-optimization problem over K observation slots."""
+
+    p_w: jnp.ndarray       # [K, 3] world points
+    uv: jnp.ndarray        # [K, 2] measured pixel
+    u_right: jnp.ndarray   # [K] measured right-x, <0 => monocular edge
+    sigma2: jnp.ndarray    # [K] per-observation sigma^2 (scale^2*octave)
+    valid: jnp.ndarray     # [K] bool
+
+
+def _residuals_jacobian(T_cw, obs: PoseObs, fx, fy, cx, cy, bf):
+    """r [K,3], J [K,3,6] for stereo-augmented reprojection.
+
+    Third row is the right-image u residual, weight-masked for mono edges.
+    Jacobian is wrt a *left* se3 perturbation: p_c' = exp(xi) T p_w.
+    """
+    p_c = lie.transform_points(T_cw[None], obs.p_w[None])[0]   # [K, 3]
+    x, y, z = p_c[:, 0], p_c[:, 1], p_c[:, 2]
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+
+    u_hat = fx * x * inv_z + cx
+    v_hat = fy * y * inv_z + cy
+    ur_hat = u_hat - bf * inv_z
+
+    is_stereo = obs.u_right >= 0
+    r = jnp.stack(
+        [
+            obs.uv[:, 0] - u_hat,
+            obs.uv[:, 1] - v_hat,
+            jnp.where(is_stereo, obs.u_right - ur_hat, 0.0),
+        ],
+        axis=-1,
+    )
+
+    # d(pixel)/d(p_c)
+    du = jnp.stack([fx * inv_z, jnp.zeros_like(z), -fx * x * inv_z2], axis=-1)
+    dv = jnp.stack([jnp.zeros_like(z), fy * inv_z, -fy * y * inv_z2], axis=-1)
+    dur = du + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), bf * inv_z2], axis=-1
+    )
+    d_pix = jnp.stack([du, dv, dur], axis=1)                   # [K, 3, 3]
+
+    # d(p_c)/d(xi) = [I | -hat(p_c)] for xi = (rho, phi)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=p_c.dtype), (p_c.shape[0], 3, 3))
+    d_pc = jnp.concatenate([I3, -lie.hat(p_c)], axis=-1)       # [K, 3, 6]
+
+    # residual = measured - predicted  =>  J = -d(pred)/d(xi)
+    J = -jnp.einsum("kij,kjl->kil", d_pix, d_pc)               # [K, 3, 6]
+    behind = z <= 1e-6
+    return r, J, is_stereo, behind
+
+
+def _chi2(r, sigma2, is_stereo):
+    w = 1.0 / sigma2
+    c_mono = (r[:, 0] ** 2 + r[:, 1] ** 2) * w
+    c_stereo = jnp.sum(r * r, axis=-1) * w
+    return jnp.where(is_stereo, c_stereo, c_mono)
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "bf"))
+def pose_optimize(T_cw_init, obs: PoseObs, *, fx: float, fy: float,
+                  cx: float, cy: float, bf: float):
+    """Optimize a single pose against fixed world points.
+
+    Returns ``(T_cw, inlier_mask, n_inliers)`` — the array analogue of
+    PoseOptimization's return + per-edge outlier flags
+    (reference: src/orboptimizer.cpp:444-459).
+    """
+    delta_mono = jnp.sqrt(CHI2_MONO)
+    delta_stereo = jnp.sqrt(CHI2_STEREO)
+
+    def gn_iterations(T, inlier_mask, use_huber):
+        def body(_, T):
+            r, J, is_stereo, behind = _residuals_jacobian(
+                T, obs, fx, fy, cx, cy, bf
+            )
+            active = obs.valid & inlier_mask & (~behind)
+            info = 1.0 / obs.sigma2
+            chi = jnp.sqrt(jnp.maximum(_chi2(r, obs.sigma2, is_stereo), 1e-12))
+            delta = jnp.where(is_stereo, delta_stereo, delta_mono)
+            huber_w = jnp.where(chi <= delta, 1.0, delta / chi)
+            w = info * jnp.where(use_huber, huber_w, 1.0)
+            w = jnp.where(active, w, 0.0)
+            # zero the ur row for mono edges
+            row_w = jnp.stack(
+                [jnp.ones_like(w), jnp.ones_like(w),
+                 jnp.where(is_stereo, 1.0, 0.0)], axis=-1
+            ) * w[:, None]
+            H = jnp.einsum("kri,kr,krj->ij", J, row_w, J)
+            b = -jnp.einsum("kri,kr->i", J, row_w * r)
+            H = H + 1e-5 * jnp.eye(6, dtype=H.dtype)
+            dx = jnp.linalg.solve(H, b)
+            ok = jnp.all(jnp.isfinite(dx))
+            dx = jnp.where(ok, dx, 0.0)
+            return lie.exp_se3(dx) @ T
+
+        return jax.lax.fori_loop(0, ITS_PER_ROUND, body, T)
+
+    T = T_cw_init
+    inliers = jnp.ones_like(obs.valid)
+    for rnd in range(N_ROUNDS):
+        use_huber = rnd < 2  # reference drops the kernel at round 3 (:436)
+        T = gn_iterations(T, inliers, use_huber)
+        r, _, is_stereo, behind = _residuals_jacobian(T, obs, fx, fy, cx, cy, bf)
+        chi2 = _chi2(r, obs.sigma2, is_stereo)
+        th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        inliers = obs.valid & (chi2 <= th) & (~behind)
+
+    n_inliers = jnp.sum(inliers)
+    return T, inliers, n_inliers

@@ -22,10 +22,12 @@ from ..ops import lie
 from ..utils.config import SystemConfig
 
 
+SPRITE_R_DEF = 3
+
+
 class SyntheticWorld(NamedTuple):
     points: jnp.ndarray       # [M, 3] world points
-    intensities: jnp.ndarray  # [M] sprite brightness
-    phases: jnp.ndarray       # [M, 2] sprite asymmetry (descriptor diversity)
+    patterns: jnp.ndarray     # [M, (2R+1)^2] per-point random sprite texture
 
 
 def make_world(n_points: int = 600, seed: int = 0,
@@ -40,9 +42,23 @@ def make_world(n_points: int = 600, seed: int = 0,
         ],
         axis=-1,
     ).astype(np.float32)
-    inten = rng.uniform(120.0, 250.0, n_points).astype(np.float32)
-    phases = rng.uniform(-1.0, 1.0, (n_points, 2)).astype(np.float32)
-    return SyntheticWorld(jnp.asarray(pts), jnp.asarray(inten), jnp.asarray(phases))
+    side = 2 * SPRITE_R_DEF + 1
+    # Unique random texture per sprite => distinctive ORB descriptors, like
+    # real-world texture (a shared pattern would make every descriptor
+    # ambiguous and unfairly break data association).  Band-limited: white
+    # noise would alias under sub-pixel splatting and destabilize keypoints,
+    # so draw a coarse random grid and upsample it bilinearly.
+    coarse = 4
+    base = rng.uniform(40.0, 250.0, (n_points, coarse, coarse)).astype(np.float32)
+    # bilinear upsample coarse x coarse -> side x side (align_corners)
+    t = np.linspace(0.0, coarse - 1.0, side)
+    i0 = np.clip(np.floor(t).astype(np.int64), 0, coarse - 2)
+    f = (t - i0).astype(np.float32)
+    rows = (1 - f)[None, :, None] * base[:, i0, :] + f[None, :, None] * base[:, i0 + 1, :]
+    patterns = (
+        (1 - f)[None, None, :] * rows[:, :, i0] + f[None, None, :] * rows[:, :, i0 + 1]
+    ).reshape(n_points, side * side)
+    return SyntheticWorld(jnp.asarray(pts), jnp.asarray(patterns))
 
 
 def straight_trajectory(n_frames: int, step: float = 0.35, yaw_rate: float = 0.0):
@@ -95,14 +111,7 @@ def render_view(T_cw, world: SyntheticWorld, height: int, width: int,
     dy, dx = np.mgrid[-SPRITE_R : SPRITE_R + 1, -SPRITE_R : SPRITE_R + 1]
     dy = jnp.asarray(dy.reshape(-1))
     dx = jnp.asarray(dx.reshape(-1))
-    # Per-point sprite pattern: asymmetric checker so descriptors differ.
-    pattern = (
-        1.0
-        + 0.35 * jnp.sign(world.phases[:, 0])[:, None] * ((dx[None, :] + dy[None, :]) % 2)
-        + 0.25 * world.phases[:, 1][:, None] * jnp.sign(dx + dy + 0.1)[None, :]
-    )
-    base = world.intensities[:, None] * pattern / jnp.max(pattern)
-    val = jnp.where(visible[:, None], base, 0.0)   # [M, S]
+    val = jnp.where(visible[:, None], world.patterns, 0.0)   # [M, S]
 
     # Bilinear splat into 4 neighbouring pixel grids.
     for (oy, ox, w) in (

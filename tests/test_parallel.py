@@ -1,0 +1,61 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from opendlv_perception_vision_orbslam2_tpu.ops import lie
+from opendlv_perception_vision_orbslam2_tpu.parallel.sharded_pose import (
+    make_sharded_pose_optimizer,
+    pad_obs_to_multiple,
+)
+from opendlv_perception_vision_orbslam2_tpu.optim.pose_opt import PoseObs
+
+CAM = dict(fx=320.0, fy=320.0, cx=256.0, cy=128.0, bf=160.0)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_pose_gn_matches_truth():
+    rng = np.random.default_rng(0)
+    n = 512
+    p_w = np.stack(
+        [rng.uniform(-10, 10, n), rng.uniform(-4, 4, n), rng.uniform(4, 40, n)],
+        axis=-1,
+    ).astype(np.float32)
+    xi = np.array([0.3, -0.2, 0.4, 0.03, -0.02, 0.05], np.float32)
+    T_true = np.asarray(lie.exp_se3(jnp.asarray(xi)))
+    p_c = p_w @ T_true[:3, :3].T + T_true[:3, 3]
+    uv = np.stack(
+        [
+            CAM["fx"] * p_c[:, 0] / p_c[:, 2] + CAM["cx"],
+            CAM["fy"] * p_c[:, 1] / p_c[:, 2] + CAM["cy"],
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    ur = (uv[:, 0] - CAM["bf"] / p_c[:, 2]).astype(np.float32)
+    obs = PoseObs(
+        p_w=jnp.asarray(p_w),
+        uv=jnp.asarray(uv),
+        u_right=jnp.asarray(ur),
+        sigma2=jnp.ones((n,), jnp.float32),
+        valid=jnp.ones((n,), bool),
+    )
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("obs",))
+    obs = pad_obs_to_multiple(obs, 8)
+    sharding = NamedSharding(mesh, P("obs"))
+    obs = jax.tree.map(lambda a: jax.device_put(a, sharding), obs)
+
+    solve = make_sharded_pose_optimizer(mesh, "obs", **CAM, n_iters=10)
+    d = jnp.asarray(np.array([0.1, -0.05, 0.1, 0.01, 0.01, -0.02], np.float32))
+    T0 = lie.exp_se3(d) @ jnp.asarray(T_true)
+    T_est, n_inl = solve(T0, obs)
+
+    err = np.asarray(lie.log_se3(jnp.asarray(T_true) @ lie.inv_T(T_est)))
+    assert np.linalg.norm(err[:3]) < 1e-3
+    assert np.linalg.norm(err[3:]) < 1e-4
+    assert int(n_inl) == 512
