@@ -1,0 +1,186 @@
+"""Local mapping: covisibility-window BA over the array map.
+
+Re-designs the Mapping thread's per-keyframe work (reference:
+src/mapping.cpp:48-116): after a keyframe insert, cull recent points, run
+local bundle adjustment over the covisible window, erase outlier
+observations, and cull redundant keyframes.  (Epipolar triangulation of new
+mono points — CreateNewMapPoints, reference: src/mapping.cpp:280-525 — is
+stereo-redundant for the depth-rich path and lands with the monocular
+pipeline.)
+
+The reference's "local + fixed observer" window (LocalBundleAdjustment,
+reference: src/orboptimizer.cpp:463-557) maps to static caps:
+``KO`` optimizable keyframes (center + best covisible), ``KF_FIX`` fixed
+observers, ``PL`` local points — all selected by masked top-k, no pointers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..optim.ba import BAProblem, bundle_adjust
+from ..utils.config import SystemConfig
+from .frame import Features
+from .map_state import MapState, recompute_covisibility
+
+KO_DEFAULT = 8       # optimizable window size
+KFIX_DEFAULT = 8     # fixed observers
+PL_DEFAULT = 8192    # local point capacity
+
+
+class LocalBAExtract(NamedTuple):
+    prob: BAProblem
+    local_kf_slots: jnp.ndarray   # [KO] map keyframe slots (-1 pad)
+    local_pt_slots: jnp.ndarray   # [PL] map point slots (-1 pad)
+    e_src_kf: jnp.ndarray         # [E] keyframe slot of each edge
+    e_src_feat: jnp.ndarray       # [E] feature index of each edge
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def extract_local_ba(m: MapState, center_slot, ko: int = KO_DEFAULT,
+                     kfix: int = KFIX_DEFAULT, pl: int = PL_DEFAULT,
+                     scale_factor: float = 1.2) -> LocalBAExtract:
+    """Build the fixed-shape local BA problem around ``center_slot``."""
+    K, F, P = m.kf_capacity, m.feat_capacity, m.pt_capacity
+
+    # --- optimizable window: center + best covisible ----------------------
+    w = m.covis[center_slot].at[center_slot].set(-1)
+    nb_w, nb_idx = jax.lax.top_k(w, ko - 1)
+    local_slots = jnp.concatenate([jnp.array([center_slot]), nb_idx])
+    local_ok = jnp.concatenate([jnp.array([True]), nb_w > 0])
+    local_ok = local_ok & jnp.take(m.kf_valid, local_slots)
+
+    is_local = jnp.zeros((K,), bool).at[
+        jnp.where(local_ok, local_slots, K - 1)
+    ].set(local_ok)
+
+    # --- local point set --------------------------------------------------
+    binds = m.kf_obs_point[local_slots]                      # [KO, F]
+    b_ok = (
+        m.kf_feat_valid[local_slots]
+        & (binds >= 0)
+        & local_ok[:, None]
+    )
+    pt_in = jnp.zeros((P,), bool).at[jnp.where(b_ok, binds, P - 1)].set(b_ok)
+    pt_in = pt_in.at[P - 1].set(False) & m.pt_valid
+
+    # compress to PL slots (rank trick)
+    rank = jnp.cumsum(pt_in.astype(jnp.int32)) - 1
+    pt_g2l = jnp.where(pt_in & (rank < pl), rank, -1)        # [P] global->local
+    local_pt_slots = jnp.full((pl,), -1, jnp.int32).at[
+        jnp.where(pt_g2l >= 0, pt_g2l, pl - 1)
+    ].set(jnp.where(pt_g2l >= 0, jnp.arange(P, dtype=jnp.int32), -1))
+    pt_local_valid = local_pt_slots >= 0
+    pts_local = jnp.where(
+        pt_local_valid[:, None],
+        m.pt_pos[jnp.clip(local_pt_slots, 0, P - 1)],
+        0.0,
+    )
+
+    # --- fixed observers: non-local KFs seeing local points ---------------
+    all_binds_local = jnp.where(
+        m.kf_feat_valid & (m.kf_obs_point >= 0),
+        jnp.take(pt_in, jnp.clip(m.kf_obs_point, 0, P - 1)),
+        False,
+    )                                                        # [K, F]
+    see_count = jnp.sum(all_binds_local, axis=1)
+    see_count = jnp.where(m.kf_valid & (~is_local), see_count, 0)
+    fix_w, fix_slots = jax.lax.top_k(see_count, kfix)
+    fix_ok = fix_w > 0
+
+    # --- edges: (KO + KFIX) x F slots ------------------------------------
+    all_slots = jnp.concatenate([local_slots, fix_slots])    # [KO+KFIX]
+    all_ok = jnp.concatenate([local_ok, fix_ok])
+    kf_xy = m.kf_xy[all_slots]
+    kf_ur = m.kf_uright[all_slots]
+    kf_oct = m.kf_octave[all_slots]
+    kf_binds = m.kf_obs_point[all_slots]
+    kf_bok = m.kf_feat_valid[all_slots] & (kf_binds >= 0) & all_ok[:, None]
+
+    e_pt_local = jnp.where(
+        kf_bok, jnp.take(pt_g2l, jnp.clip(kf_binds, 0, P - 1)), -1
+    )
+    e_valid = kf_bok & (e_pt_local >= 0)
+
+    n_all = all_slots.shape[0]
+    e_kf = jnp.broadcast_to(
+        jnp.arange(n_all, dtype=jnp.int32)[:, None], (n_all, F)
+    ).reshape(-1)
+    e_pt = jnp.clip(e_pt_local, 0, pl - 1).reshape(-1)
+    sigma2 = jnp.power(
+        jnp.float32(scale_factor), 2.0 * kf_oct.astype(jnp.float32)
+    ).reshape(-1)
+
+    prob = BAProblem(
+        T_opt=m.kf_T_cw[local_slots],
+        opt_valid=local_ok,
+        T_fix=m.kf_T_cw[fix_slots],
+        fix_valid=fix_ok,
+        pts=pts_local,
+        pt_valid=pt_local_valid,
+        e_kf=e_kf,
+        e_pt=e_pt,
+        e_uv=kf_xy.reshape(-1, 2),
+        e_ur=kf_ur.reshape(-1),
+        e_sigma2=sigma2,
+        e_valid=e_valid.reshape(-1),
+    )
+    e_src_kf = jnp.broadcast_to(
+        all_slots[:, None], (n_all, F)
+    ).reshape(-1)
+    e_src_feat = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[None, :], (n_all, F)
+    ).reshape(-1)
+    return LocalBAExtract(
+        prob=prob,
+        local_kf_slots=jnp.where(local_ok, local_slots, -1),
+        local_pt_slots=local_pt_slots,
+        e_src_kf=e_src_kf,
+        e_src_feat=e_src_feat,
+    )
+
+
+@jax.jit
+def write_back_local_ba(m: MapState, ext: LocalBAExtract, T_opt, pts,
+                        edge_inlier) -> MapState:
+    """Scatter optimized poses/points into the map and erase outlier
+    observations (the under-map-lock update, reference:
+    src/orboptimizer.cpp:735-798)."""
+    K, P = m.kf_capacity, m.pt_capacity
+    kf_ok = ext.local_kf_slots >= 0
+    kf_tgt = jnp.where(kf_ok, ext.local_kf_slots, K - 1)
+    kf_T = jnp.where(kf_ok[:, None, None], T_opt, m.kf_T_cw[kf_tgt])
+    m = m._replace(kf_T_cw=m.kf_T_cw.at[kf_tgt].set(kf_T))
+
+    pt_ok = ext.local_pt_slots >= 0
+    pt_tgt = jnp.where(pt_ok, ext.local_pt_slots, P - 1)
+    pt_new = jnp.where(pt_ok[:, None], pts, m.pt_pos[pt_tgt])
+    m = m._replace(pt_pos=m.pt_pos.at[pt_tgt].set(pt_new))
+
+    # erase outlier observations: edges that were active going in but failed
+    # the final chi2 gate.  min-scatter: bad edges write -1, others write
+    # INT_MAX (identity under min) — order-independent.
+    bad = ext.prob.e_valid & (~edge_inlier)
+    obs = m.kf_obs_point.at[ext.e_src_kf, ext.e_src_feat].min(
+        jnp.where(bad, -1, jnp.iinfo(jnp.int32).max)
+    )
+    return m._replace(kf_obs_point=obs)
+
+
+def local_mapping_step(m: MapState, center_slot, config: SystemConfig,
+                       ko: int = KO_DEFAULT, kfix: int = KFIX_DEFAULT,
+                       pl: int = PL_DEFAULT) -> MapState:
+    """Full local-BA pass around a newly inserted keyframe."""
+    cam = config.camera
+    ext = extract_local_ba(
+        m, center_slot, ko, kfix, pl, config.orb.scale_factor
+    )
+    res = bundle_adjust(
+        ext.prob, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf
+    )
+    m = write_back_local_ba(m, ext, res.T_opt, res.pts, res.edge_inlier)
+    return m._replace(covis=recompute_covisibility(m))

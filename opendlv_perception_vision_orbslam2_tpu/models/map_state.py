@@ -1,0 +1,360 @@
+"""Global map as fixed-capacity arrays (the TPU answer to the pointer graph).
+
+The reference map is a heap of cross-referencing ``shared_ptr`` objects under
+a mutex forest: OrbMap (reference: src/orbmap.cpp, include/orbmap.hpp:105),
+OrbKeyFrame with covisibility graph + spanning tree (reference:
+src/orbkeyframe.cpp:324-420, 493-600), OrbMapPoint with observation maps and
+distinctive descriptors (reference: src/orbmappoint.cpp:155-220, 314-384).
+
+Here the entire map is ONE pytree of fixed-capacity arrays with validity
+masks.  Feature->point bindings are a dense ``[K, F]`` index table, which
+makes every "iterate over observations" loop in the reference a masked
+gather/scatter, the covisibility graph a ``[K, K]`` weight matrix (one
+matmul to rebuild), and map mutation a pure function — the lock inventory of
+SURVEY.md section 5 disappears.
+
+Slot recycling: culled keyframes/points free their slots; allocation scans
+the validity mask (argmin) — static shapes throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from .frame import FrameState
+
+COVIS_THRESHOLD = 15   # edge weight gate (reference: src/orbkeyframe.cpp:369)
+
+
+class MapState(NamedTuple):
+    # --- keyframes (capacity K, feature capacity F) ---
+    kf_valid: jnp.ndarray       # [K] bool
+    kf_id: jnp.ndarray          # [K] int32 global keyframe id (-1 free)
+    kf_T_cw: jnp.ndarray        # [K, 4, 4]
+    kf_xy: jnp.ndarray          # [K, F, 2]
+    kf_octave: jnp.ndarray      # [K, F] int32
+    kf_angle: jnp.ndarray       # [K, F]
+    kf_desc: jnp.ndarray        # [K, F, 8] uint32
+    kf_uright: jnp.ndarray      # [K, F]
+    kf_depth: jnp.ndarray       # [K, F]
+    kf_feat_valid: jnp.ndarray  # [K, F] bool
+    kf_obs_point: jnp.ndarray   # [K, F] int32 point slot or -1
+    # --- points (capacity P) ---
+    pt_valid: jnp.ndarray       # [P] bool
+    pt_pos: jnp.ndarray         # [P, 3]
+    pt_desc: jnp.ndarray        # [P, 8] uint32 distinctive descriptor
+    pt_normal: jnp.ndarray      # [P, 3] mean viewing direction
+    pt_min_dist: jnp.ndarray    # [P] scale-invariance band lo
+    pt_max_dist: jnp.ndarray    # [P] scale-invariance band hi
+    pt_ref_kf: jnp.ndarray      # [P] int32 creating keyframe slot
+    pt_first_kf_id: jnp.ndarray  # [P] int32 keyframe id at creation (culling)
+    pt_visible: jnp.ndarray     # [P] int32 times predicted visible
+    pt_found: jnp.ndarray       # [P] int32 times actually matched
+    # --- graph ---
+    covis: jnp.ndarray          # [K, K] int32 shared-point counts
+    # --- counters ---
+    next_kf_id: jnp.ndarray     # [] int32
+    next_pt_id: jnp.ndarray     # [] int32 (ids only for bookkeeping)
+
+    @property
+    def kf_capacity(self) -> int:
+        return self.kf_valid.shape[0]
+
+    @property
+    def pt_capacity(self) -> int:
+        return self.pt_valid.shape[0]
+
+    @property
+    def feat_capacity(self) -> int:
+        return self.kf_xy.shape[1]
+
+
+def empty_map(kf_capacity: int, pt_capacity: int, feat_capacity: int) -> MapState:
+    K, P, F = kf_capacity, pt_capacity, feat_capacity
+    return MapState(
+        kf_valid=jnp.zeros((K,), bool),
+        kf_id=-jnp.ones((K,), jnp.int32),
+        kf_T_cw=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
+        kf_xy=jnp.zeros((K, F, 2), jnp.float32),
+        kf_octave=jnp.zeros((K, F), jnp.int32),
+        kf_angle=jnp.zeros((K, F), jnp.float32),
+        kf_desc=jnp.zeros((K, F, 8), jnp.uint32),
+        kf_uright=-jnp.ones((K, F), jnp.float32),
+        kf_depth=-jnp.ones((K, F), jnp.float32),
+        kf_feat_valid=jnp.zeros((K, F), bool),
+        kf_obs_point=-jnp.ones((K, F), jnp.int32),
+        pt_valid=jnp.zeros((P,), bool),
+        pt_pos=jnp.zeros((P, 3), jnp.float32),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_normal=jnp.zeros((P, 3), jnp.float32),
+        pt_min_dist=jnp.zeros((P,), jnp.float32),
+        pt_max_dist=jnp.full((P,), 1e9, jnp.float32),
+        pt_ref_kf=-jnp.ones((P,), jnp.int32),
+        pt_first_kf_id=-jnp.ones((P,), jnp.int32),
+        pt_visible=jnp.ones((P,), jnp.int32),
+        pt_found=jnp.ones((P,), jnp.int32),
+        covis=jnp.zeros((K, K), jnp.int32),
+        next_kf_id=jnp.asarray(0, jnp.int32),
+        next_pt_id=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Covisibility
+# ---------------------------------------------------------------------------
+
+
+def incidence_matrix(m: MapState, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[K, P] 0/1 keyframe-observes-point incidence (scatter-built)."""
+    K, F, P = m.kf_capacity, m.feat_capacity, m.pt_capacity
+    bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
+    binds = jnp.where(bound, m.kf_obs_point, P)   # dump column P
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, F), 0)
+    inc = jnp.zeros((K, P + 1), dtype).at[rows, binds].add(1)
+    return jnp.minimum(inc[:, :P], 1)
+
+
+def recompute_covisibility(m: MapState) -> jnp.ndarray:
+    """[K, K] shared-point counts via incidence Gram matrix — replaces
+    UpdateConnections' per-KF counting loops (reference:
+    src/orbkeyframe.cpp:324-420).  MXU does the whole graph in one matmul
+    (0/1 entries: bf16 products are exact)."""
+    inc = incidence_matrix(m)
+    w = jax.lax.dot_general(
+        inc, inc,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    w = jnp.where(jnp.eye(w.shape[0], dtype=bool), 0, w)
+    kmask = m.kf_valid
+    return jnp.where(kmask[:, None] & kmask[None, :], w, 0)
+
+
+def covisible_neighbors(m: MapState, kf_slot, n_best: int):
+    """Top-``n_best`` covisible keyframe slots of ``kf_slot`` by weight
+    (GetBestCovisibilityKeyFrames, reference: src/orbkeyframe.cpp:234-249)."""
+    w = m.covis[kf_slot]
+    vals, idx = jax.lax.top_k(w, n_best)
+    return idx, vals
+
+
+# ---------------------------------------------------------------------------
+# Keyframe insertion + stereo point creation
+# ---------------------------------------------------------------------------
+
+
+def _alloc_slot(valid_mask):
+    """First free slot (argmin of validity); callers must check capacity."""
+    return jnp.argmin(valid_mask.astype(jnp.int32))
+
+
+def _alloc_point_slots(pt_valid, want_mask):
+    """Allocate up to ``W=len(want_mask)`` free point slots.
+
+    Returns ``slots [W]`` (unique free slots for each wanted entry; -1 if out
+    of capacity or not wanted).  Static-shape trick: rank wanted entries,
+    rank free slots, pair rank-i want with rank-i free slot.
+    """
+    P = pt_valid.shape[0]
+    # slot P-1 is reserved as the scatter dump slot, never allocated
+    allocatable = ~pt_valid.at[P - 1].set(True)
+    free_order = jnp.argsort(~allocatable)                    # free slots first
+    n_free = jnp.sum(allocatable)
+    want_rank = jnp.cumsum(want_mask.astype(jnp.int32)) - 1   # rank among wanted
+    ok = want_mask & (want_rank < n_free)
+    slots = jnp.take(free_order, jnp.clip(want_rank, 0, P - 1))
+    return jnp.where(ok, slots, -1)
+
+
+@jax.jit
+def insert_keyframe(m: MapState, frame: FrameState, tracked_point_slot,
+                    close_depth_limit, min_total_points=100):
+    """Insert a frame as a keyframe; create map points from stereo depth.
+
+    Array analogue of Tracking::CreateNewKeyFrame (reference:
+    src/tracking.cpp:898-976): features whose tracking bound them to an
+    existing point keep that binding; unbound features with valid depth
+    create new points — all "close" ones (depth < close_depth_limit) plus the
+    nearest beyond, until at least ``min_total_points`` exist (the
+    depth-sorted >=100 rule, reference: src/tracking.cpp:930-969).
+
+    ``tracked_point_slot [F]``: existing point slot per feature (-1 none).
+    Returns ``(new_map, kf_slot)``.
+    """
+    F = m.feat_capacity
+    feats = frame.features
+    kf_slot = _alloc_slot(m.kf_valid)
+
+    # --- choose which features spawn new points -------------------------
+    has_depth = (feats.depth > 0) & feats.valid
+    unbound = has_depth & (tracked_point_slot < 0)
+    depth_key = jnp.where(unbound, feats.depth, jnp.inf)
+    order_rank = jnp.zeros((F,), jnp.int32).at[jnp.argsort(depth_key)].set(
+        jnp.arange(F, dtype=jnp.int32)
+    )
+    want_new = unbound & (
+        (feats.depth < close_depth_limit) | (order_rank < min_total_points)
+    )
+
+    new_slots = _alloc_point_slots(m.pt_valid, want_new)
+    created = new_slots >= 0
+
+    # --- world positions / attributes of the new points ------------------
+    T_wc = lie.inv_T(frame.T_cw)
+    p_w = lie.transform_points(T_wc[None], frame.point_cam[None])[0]
+    cam_center = T_wc[:3, 3]
+    view = p_w - cam_center
+    dist = jnp.linalg.norm(view, axis=-1) + 1e-9
+    normal = view / dist[:, None]
+    # scale band (reference: src/orbmappoint.cpp:394-431)
+    scale = jnp.power(1.2, feats.octave.astype(jnp.float32))
+    max_dist = dist * scale
+    min_dist = max_dist / jnp.power(1.2, 7.0)
+
+    safe = jnp.where(created, new_slots, m.pt_capacity - 1)
+
+    def upd(arr, vals):
+        mask = created.reshape((-1,) + (1,) * (vals.ndim - 1))
+        return arr.at[safe].set(jnp.where(mask, vals, arr[safe]))
+
+    m = m._replace(
+        pt_valid=m.pt_valid.at[safe].set(created | m.pt_valid[safe]),
+        pt_pos=upd(m.pt_pos, p_w),
+        pt_desc=upd(m.pt_desc, feats.desc),
+        pt_normal=upd(m.pt_normal, normal),
+        pt_min_dist=upd(m.pt_min_dist, min_dist),
+        pt_max_dist=upd(m.pt_max_dist, max_dist),
+        pt_ref_kf=upd(m.pt_ref_kf, jnp.full((F,), 0, jnp.int32) + kf_slot),
+        pt_first_kf_id=upd(
+            m.pt_first_kf_id, jnp.full((F,), 0, jnp.int32) + m.next_kf_id
+        ),
+        pt_visible=upd(m.pt_visible, jnp.ones((F,), jnp.int32)),
+        pt_found=upd(m.pt_found, jnp.ones((F,), jnp.int32)),
+    )
+
+    bindings = jnp.where(created, new_slots, tracked_point_slot)
+
+    # --- write the keyframe ----------------------------------------------
+    m = m._replace(
+        kf_valid=m.kf_valid.at[kf_slot].set(True),
+        kf_id=m.kf_id.at[kf_slot].set(m.next_kf_id),
+        kf_T_cw=m.kf_T_cw.at[kf_slot].set(frame.T_cw),
+        kf_xy=m.kf_xy.at[kf_slot].set(feats.xy),
+        kf_octave=m.kf_octave.at[kf_slot].set(feats.octave),
+        kf_angle=m.kf_angle.at[kf_slot].set(feats.angle),
+        kf_desc=m.kf_desc.at[kf_slot].set(feats.desc),
+        kf_uright=m.kf_uright.at[kf_slot].set(feats.u_right),
+        kf_depth=m.kf_depth.at[kf_slot].set(feats.depth),
+        kf_feat_valid=m.kf_feat_valid.at[kf_slot].set(feats.valid),
+        kf_obs_point=m.kf_obs_point.at[kf_slot].set(bindings),
+        next_kf_id=m.next_kf_id + 1,
+    )
+    m = m._replace(covis=recompute_covisibility(m))
+    return m, kf_slot
+
+
+# ---------------------------------------------------------------------------
+# Point statistics refresh
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def refresh_point_stats(m: MapState) -> MapState:
+    """Recompute observation counts, mean viewing normals and scale bands
+    from current bindings (UpdateMeanAndDepthValues, reference:
+    src/orbmappoint.cpp:394-431) — one masked scatter over all [K, F] slots."""
+    P = m.pt_capacity
+    bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
+    tgt = jnp.where(bound, m.kf_obs_point, P - 1)
+
+    obs_count = jnp.zeros((P,), jnp.int32).at[tgt].add(bound.astype(jnp.int32))
+
+    cam_centers = -jnp.einsum(
+        "kji,kj->ki", m.kf_T_cw[:, :3, :3], m.kf_T_cw[:, :3, 3]
+    )  # [K, 3]
+    view = m.pt_pos[tgt] - cam_centers[:, None, :]
+    nrm = view / (jnp.linalg.norm(view, axis=-1, keepdims=True) + 1e-9)
+    normal_sum = jnp.zeros((P, 3), jnp.float32).at[tgt].add(
+        jnp.where(bound[..., None], nrm, 0.0)
+    )
+    normals = normal_sum / jnp.maximum(obs_count, 1)[:, None]
+    m = m._replace(
+        pt_normal=jnp.where((obs_count > 0)[:, None], normals, m.pt_normal)
+    )
+    return m
+
+
+def point_observation_counts(m: MapState) -> jnp.ndarray:
+    """Observations per point slot.  Slot P-1 is the reserved dump slot
+    (never allocated), so masked writes land there harmlessly."""
+    P = m.pt_capacity
+    bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
+    tgt = jnp.where(bound, m.kf_obs_point, P - 1)
+    counts = jnp.zeros((P,), jnp.int32).at[tgt].add(bound.astype(jnp.int32))
+    return counts.at[P - 1].set(0)
+
+
+# ---------------------------------------------------------------------------
+# Culling
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def cull_points(m: MapState, current_kf_id) -> MapState:
+    """MapPointCulling (reference: src/mapping.cpp:527-562): recently created
+    points must keep a found/visible ratio > 0.25 and gather >= 3
+    observations within 2 keyframes of creation, else they are deleted."""
+    obs = point_observation_counts(m)
+    age = current_kf_id - m.pt_first_kf_id
+    ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(m.pt_visible, 1)
+    bad = (ratio < 0.25) | ((age >= 2) & (obs <= 2))
+    recent = age <= 3
+    kill = m.pt_valid & recent & bad
+    new_valid = m.pt_valid & (~kill)
+    # unbind every observation of killed points
+    killed_of = jnp.where(m.kf_obs_point >= 0, kill[m.kf_obs_point], False)
+    return m._replace(
+        pt_valid=new_valid,
+        kf_obs_point=jnp.where(killed_of, -1, m.kf_obs_point),
+    )
+
+
+@jax.jit
+def cull_keyframes(m: MapState, protect_slot) -> MapState:
+    """KeyFrameCulling (reference: src/mapping.cpp:646-710): a keyframe whose
+    tracked points are >=90% observed by >=3 other keyframes at the same or
+    finer scale is redundant.  Array form: per (kf, feat) slot, look up the
+    point's total observation count; scale comparison is approximated by
+    total counts (documented divergence — the reference compares octaves per
+    observation, which needs the full [K,F] x [K,F] join; planned follow-up).
+    """
+    obs = point_observation_counts(m)
+    bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
+    pt_obs = jnp.where(bound, obs[jnp.clip(m.kf_obs_point, 0, m.pt_capacity - 1)], 0)
+    n_tracked = jnp.sum(bound, axis=1)
+    n_redundant = jnp.sum(bound & (pt_obs >= 4), axis=1)
+    redundant = (
+        m.kf_valid
+        & (n_redundant > (0.9 * n_tracked).astype(jnp.int32))
+        & (n_tracked > 0)
+    )
+    # never cull the newest KF or slot 0 (origin anchor, reference keeps KF0)
+    redundant = redundant.at[protect_slot].set(False).at[0].set(False)
+    # cull at most one KF per call (the reference culls greedily per pass;
+    # one-at-a-time keeps covisibility consistent between steps)
+    victim = jnp.argmax(redundant.astype(jnp.int32))
+    do_cull = jnp.any(redundant)
+    kf_valid = m.kf_valid.at[victim].set(
+        jnp.where(do_cull, False, m.kf_valid[victim])
+    )
+    kf_obs = m.kf_obs_point.at[victim].set(
+        jnp.where(do_cull, -jnp.ones((m.feat_capacity,), jnp.int32),
+                  m.kf_obs_point[victim])
+    )
+    m = m._replace(kf_valid=kf_valid, kf_obs_point=kf_obs)
+    return m._replace(covis=recompute_covisibility(m))

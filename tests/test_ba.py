@@ -1,0 +1,122 @@
+"""Bundle-adjustment unit tests vs synthetic ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from opendlv_perception_vision_orbslam2_tpu.ops import lie
+from opendlv_perception_vision_orbslam2_tpu.optim.ba import BAProblem, bundle_adjust
+
+CAM = dict(fx=320.0, fy=320.0, cx=256.0, cy=128.0, bf=160.0)
+
+
+def _make_ba_problem(seed=0, n_poses=5, n_pts=200, noise_px=0.4,
+                     pose_noise=0.03, pt_noise=0.10, outlier_frac=0.0):
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [rng.uniform(-12, 12, n_pts), rng.uniform(-4, 4, n_pts),
+         rng.uniform(6, 40, n_pts)], axis=-1,
+    ).astype(np.float32)
+    # camera moves forward along z
+    T_gt = []
+    for i in range(n_poses):
+        xi = np.zeros(6, np.float32)
+        xi[2] = -0.6 * i   # T_cw translation: camera at z = 0.6 i
+        T_gt.append(np.asarray(lie.exp_se3(jnp.asarray(xi))))
+    T_gt = np.stack(T_gt)
+
+    e_kf, e_pt, e_uv, e_ur = [], [], [], []
+    for k in range(n_poses):
+        p_c = pts @ T_gt[k, :3, :3].T + T_gt[k, :3, 3]
+        vis = p_c[:, 2] > 1.0
+        u = CAM["fx"] * p_c[:, 0] / p_c[:, 2] + CAM["cx"]
+        v = CAM["fy"] * p_c[:, 1] / p_c[:, 2] + CAM["cy"]
+        ur = u - CAM["bf"] / p_c[:, 2]
+        for j in np.where(vis)[0]:
+            e_kf.append(k)
+            e_pt.append(j)
+            e_uv.append([u[j] + rng.normal(0, noise_px),
+                         v[j] + rng.normal(0, noise_px)])
+            e_ur.append(ur[j] + rng.normal(0, noise_px)
+                        if rng.uniform() < 0.7 else -1.0)
+    E = len(e_kf)
+    e_uv = np.asarray(e_uv, np.float32)
+    n_out = int(outlier_frac * E)
+    if n_out:
+        idx = rng.choice(E, n_out, replace=False)
+        e_uv[idx] += rng.uniform(-30, 30, (n_out, 2))
+
+    # perturb initial estimates
+    T0 = np.stack([
+        np.asarray(lie.exp_se3(jnp.asarray(
+            (rng.standard_normal(6) * pose_noise).astype(np.float32)))) @ T_gt[k]
+        for k in range(n_poses)
+    ])
+    T0[0] = T_gt[0]  # first pose fixed at truth
+    pts0 = pts + rng.standard_normal(pts.shape).astype(np.float32) * pt_noise
+
+    prob = BAProblem(
+        T_opt=jnp.asarray(T0),
+        opt_valid=jnp.ones((n_poses,), bool),
+        T_fix=jnp.eye(4, dtype=jnp.float32)[None],
+        fix_valid=jnp.zeros((1,), bool),
+        pts=jnp.asarray(pts0),
+        pt_valid=jnp.ones((n_pts,), bool),
+        e_kf=jnp.asarray(e_kf, jnp.int32),
+        e_pt=jnp.asarray(e_pt, jnp.int32),
+        e_uv=jnp.asarray(e_uv),
+        e_ur=jnp.asarray(np.asarray(e_ur, np.float32)),
+        e_sigma2=jnp.ones((E,), jnp.float32),
+        e_valid=jnp.ones((E,), bool),
+    )
+    return T_gt, pts, prob
+
+
+def _pose_errors(T_gt, T_est):
+    errs_t, errs_r = [], []
+    for k in range(len(T_gt)):
+        d = np.asarray(
+            lie.log_se3(jnp.asarray(T_gt[k]) @ lie.inv_T(jnp.asarray(T_est[k])))
+        )
+        errs_t.append(np.linalg.norm(d[:3]))
+        errs_r.append(np.linalg.norm(d[3:]))
+    return np.asarray(errs_t), np.asarray(errs_r)
+
+
+def test_ba_converges_to_ground_truth():
+    T_gt, pts_gt, prob = _make_ba_problem(0)
+    res = bundle_adjust(prob, **CAM, fix_first_pose=True)
+    errs_t, errs_r = _pose_errors(T_gt, np.asarray(res.T_opt))
+    assert errs_t.max() < 0.02, errs_t
+    assert errs_r.max() < 0.005, errs_r
+    # point error relative to depth (stereo depth sigma ~ z^2 sigma_px / bf:
+    # absolute error grows quadratically with distance; 2% median is at the
+    # measurement-noise floor for 0.4 px)
+    pt_err = np.linalg.norm(np.asarray(res.pts) - pts_gt, axis=1)
+    assert np.median(pt_err / pts_gt[:, 2]) < 0.02
+
+
+def test_ba_improves_initialization():
+    T_gt, pts_gt, prob = _make_ba_problem(1, pose_noise=0.05, pt_noise=0.3)
+    errs0_t, _ = _pose_errors(T_gt, np.asarray(prob.T_opt))
+    res = bundle_adjust(prob, **CAM, fix_first_pose=True)
+    errs_t, _ = _pose_errors(T_gt, np.asarray(res.T_opt))
+    assert errs_t.max() < 0.3 * errs0_t.max()
+
+
+def test_ba_with_outliers():
+    T_gt, pts_gt, prob = _make_ba_problem(2, outlier_frac=0.15)
+    res = bundle_adjust(prob, **CAM, fix_first_pose=True)
+    errs_t, errs_r = _pose_errors(T_gt, np.asarray(res.T_opt))
+    assert errs_t.max() < 0.05
+    # outlier edges must be classified out
+    frac_in = float(jnp.mean(res.edge_inlier))
+    assert 0.7 < frac_in < 0.95
+
+
+def test_ba_respects_fixed_poses():
+    T_gt, pts_gt, prob = _make_ba_problem(3)
+    # mark pose 1 as additionally present in T_fix: freeze via opt_valid
+    frozen = prob.T_opt[1]
+    prob = prob._replace(opt_valid=prob.opt_valid.at[1].set(False))
+    res = bundle_adjust(prob, **CAM, fix_first_pose=True)
+    np.testing.assert_allclose(np.asarray(res.T_opt[1]), np.asarray(frozen))
