@@ -54,6 +54,19 @@ def extract_local_ba(m: MapState, center_slot, ko: int = KO_DEFAULT,
     local_ok = jnp.concatenate([jnp.array([True]), nb_w > 0])
     local_ok = local_ok & jnp.take(m.kf_valid, local_slots)
 
+    # Gauge anchoring: move the OLDEST local keyframe to position 0 so the
+    # caller can pin it (fix_first_pose).  Early windows have no fixed
+    # observers, leaving the whole window's gauge free — without an anchor
+    # the damped LM lets the map drift (the reference gets its gauge from
+    # fixed observer KFs, and pins KF0 in global BA,
+    # reference: src/orboptimizer.cpp:84-86).
+    ids = jnp.where(local_ok, jnp.take(m.kf_id, local_slots), jnp.iinfo(jnp.int32).max)
+    oldest_pos = jnp.argmin(ids)
+    perm = jnp.arange(local_slots.shape[0])
+    perm = perm.at[0].set(oldest_pos).at[oldest_pos].set(0)
+    local_slots = local_slots[perm]
+    local_ok = local_ok[perm]
+
     is_local = jnp.zeros((K,), bool).at[
         jnp.where(local_ok, local_slots, K - 1)
     ].set(local_ok)
@@ -180,7 +193,8 @@ def local_mapping_step(m: MapState, center_slot, config: SystemConfig,
         m, center_slot, ko, kfix, pl, config.orb.scale_factor
     )
     res = bundle_adjust(
-        ext.prob, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf
+        ext.prob, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+        fix_first_pose=True,  # oldest local KF anchors the gauge (see extract)
     )
     m = write_back_local_ba(m, ext, res.T_opt, res.pts, res.edge_inlier)
     return m._replace(covis=recompute_covisibility(m))

@@ -304,15 +304,17 @@ def point_observation_counts(m: MapState) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def cull_points(m: MapState, current_kf_id) -> MapState:
+@functools.partial(jax.jit, static_argnames=("th_obs",))
+def cull_points(m: MapState, current_kf_id, th_obs: int = 3) -> MapState:
     """MapPointCulling (reference: src/mapping.cpp:527-562): recently created
-    points must keep a found/visible ratio > 0.25 and gather >= 3
-    observations within 2 keyframes of creation, else they are deleted."""
+    points must keep a found/visible ratio > 0.25 and gather > ``th_obs``
+    observations (3 stereo / 2 mono) within 2 keyframes of creation, else
+    they are deleted.  Counts grow via keyframe bindings + fusion
+    (models/fusion.py), exactly like the reference's Fuse pass."""
     obs = point_observation_counts(m)
     age = current_kf_id - m.pt_first_kf_id
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(m.pt_visible, 1)
-    bad = (ratio < 0.25) | ((age >= 2) & (obs <= 2))
+    bad = (ratio < 0.25) | ((age >= 2) & (obs <= th_obs))
     recent = age <= 3
     kill = m.pt_valid & recent & bad
     new_valid = m.pt_valid & (~kill)

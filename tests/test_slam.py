@@ -1,0 +1,52 @@
+"""Full-pipeline integration: stereo SLAM (tracking + map + local BA) on the
+synthetic rendered sequence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from opendlv_perception_vision_orbslam2_tpu.models.slam import StereoSlam
+from opendlv_perception_vision_orbslam2_tpu.utils import synthetic, trajectory
+from opendlv_perception_vision_orbslam2_tpu.utils.config import (
+    CameraConfig,
+    OrbConfig,
+    SystemConfig,
+)
+
+
+def _config():
+    return SystemConfig(
+        camera=CameraConfig(fx=320.0, fy=320.0, cx=256.0, cy=128.0,
+                            bf=160.0, width=512, height=256, fps=10.0),
+        orb=OrbConfig(n_features=600, max_keypoints=1024, n_levels=4),
+        tracking=__import__(
+            "opendlv_perception_vision_orbslam2_tpu.utils.config",
+            fromlist=["TrackingConfig"],
+        ).TrackingConfig(max_frames=5, th_depth=35.0),
+        max_keyframes=32,
+        max_map_points=16384,
+    )
+
+
+@pytest.mark.slow
+def test_stereo_slam_on_synthetic_sequence():
+    cfg = _config()
+    n_frames = 14
+    lefts, rights, gt_poses, _ = synthetic.render_stereo_sequence(
+        cfg, n_frames=n_frames, n_points=500, seed=5, step=0.25
+    )
+    slam = StereoSlam(cfg)
+    for i in range(n_frames):
+        T = slam.process(lefts[i], rights[i], timestamp=i * 0.1)
+        assert T is not None
+        assert not slam.lost, f"lost tracking at frame {i}"
+
+    # map grew beyond the bootstrap keyframe
+    assert slam.n_keyframes >= 2
+    assert int(jnp.sum(slam.map.pt_valid)) > 100
+
+    ate = trajectory.ate_rmse(
+        [np.asarray(T) for T in slam.trajectory],
+        list(np.asarray(gt_poses)), align=False,
+    )
+    assert ate < 0.10, f"ATE {ate:.3f} m too high"
