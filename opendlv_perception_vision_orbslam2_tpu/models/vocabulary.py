@@ -1,0 +1,248 @@
+"""Binary-descriptor vocabulary: k-ary Hamming tree + device-side transform.
+
+Capability parity with OrbVocabulary (reference: src/orbvocabulary.cpp), the
+DBoW2 rewrite that loads ``ORBvoc.txt`` and descends a k<=20-ary, L<=10 tree
+per descriptor (transform4/5, reference: src/orbvocabulary.cpp:168-242).
+The reference repo ships no vocabulary file, so besides the text-format
+loader this module provides a *trainer* (hierarchical k-means over binary
+descriptors with bitwise-majority centroids — the classic DBoW2 build).
+
+TPU-native transform: the tree descent runs as L batched gather+Hamming-argmin
+rounds over all features at once; BoW vectors are *dense* ``[W]`` arrays
+(tf-idf, L1-normalized) so database scoring becomes elementwise min-sums and
+common-word counting becomes a matmul (see kfdb.py).
+
+Scoring uses the correct DBoW2 L1 similarity — the reference's GetScore has
+an iterator-initialization bug SURVEY.md section 7 says not to replicate
+(reference: src/orbvocabulary.cpp:129).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    """Pytree: arrays are leaves, tree shape params are static aux data
+    (so jitted consumers can python-loop over ``levels``)."""
+
+    node_desc: jnp.ndarray   # [N, 8] uint32 node centroid descriptors
+    children: jnp.ndarray    # [N, k] int32 child node ids (-1 pad)
+    node_word: jnp.ndarray   # [N] int32 word id for leaves (-1 internal)
+    word_weight: jnp.ndarray  # [W] float32 idf weights
+    levels: int              # tree depth L (static)
+    branching: int           # k (static)
+    n_words: int             # W (static)
+
+
+def _unpack_bits_np(descs: np.ndarray) -> np.ndarray:
+    """uint32 [M, 8] -> uint8 bits [M, 256]."""
+    b = descs.view(np.uint8).reshape(len(descs), 32)
+    return np.unpackbits(b, axis=1, bitorder="little")
+
+
+def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
+    b = np.packbits(bits.astype(np.uint8), axis=1, bitorder="little")
+    return b.view(np.uint32).reshape(len(bits), 8)
+
+
+def _majority(bits: np.ndarray) -> np.ndarray:
+    """Bitwise-majority centroid (OrbDescriptor::meanValue semantics,
+    reference: src/orbdescriptor.cpp:24-73)."""
+    return (bits.sum(axis=0) * 2 >= len(bits)).astype(np.uint8)
+
+
+def _kmeans_binary(bits: np.ndarray, k: int, rng, iters: int = 8):
+    """k-means over binary descriptors with Hamming assignment + majority
+    update.  Returns (centers_bits [k', 256], assign [M])."""
+    M = len(bits)
+    k = min(k, M)
+    idx = rng.choice(M, k, replace=False)
+    centers = bits[idx].copy()
+    assign = None
+    for _ in range(iters):
+        # Hamming distances via int16 xor-sum on bits
+        d = (bits[:, None, :] != centers[None, :, :]).sum(axis=2)
+        new_assign = d.argmin(axis=1)
+        if assign is not None and np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+        for c in range(k):
+            members = bits[assign == c]
+            if len(members):
+                centers[c] = _majority(members)
+    # drop empty clusters
+    used = np.unique(assign)
+    remap = -np.ones(k, np.int64)
+    remap[used] = np.arange(len(used))
+    return centers[used], remap[assign]
+
+
+def train_vocabulary(descs: np.ndarray, branching: int = 8, levels: int = 3,
+                     seed: int = 0) -> Vocabulary:
+    """Hierarchical k-means vocabulary from packed descriptors ``[M, 8]``."""
+    rng = np.random.default_rng(seed)
+    bits = _unpack_bits_np(np.asarray(descs, np.uint32))
+
+    node_desc = [np.zeros(256, np.uint8)]   # root (unused descriptor)
+    children: list[list[int]] = [[]]
+    node_word = [-1]
+    leaf_sizes = []
+
+    def split(indices: np.ndarray, level: int, node_id: int):
+        if level == levels or len(indices) <= branching:
+            node_word[node_id] = len(leaf_sizes)
+            leaf_sizes.append(len(indices))
+            return
+        centers, assign = _kmeans_binary(bits[indices], branching, rng)
+        for c in range(len(centers)):
+            cid = len(node_desc)
+            node_desc.append(centers[c])
+            children.append([])
+            node_word.append(-1)
+            children[node_id].append(cid)
+            split(indices[assign == c], level + 1, cid)
+
+    split(np.arange(len(bits)), 0, 0)
+
+    # leaves may exist above max depth; every leaf got a word id
+    n_nodes = len(node_desc)
+    W = len(leaf_sizes)
+    ch = -np.ones((n_nodes, branching), np.int32)
+    for i, c in enumerate(children):
+        ch[i, : len(c)] = c
+    # idf weights (DBoW2 TF_IDF default)
+    sizes = np.maximum(np.asarray(leaf_sizes, np.float64), 1.0)
+    idf = np.log(len(bits) / sizes).astype(np.float32)
+    return Vocabulary(
+        node_desc=jnp.asarray(_pack_bits_np(np.stack(node_desc))),
+        children=jnp.asarray(ch),
+        node_word=jnp.asarray(np.asarray(node_word, np.int32)),
+        word_weight=jnp.asarray(idf),
+        levels=levels,
+        branching=branching,
+        n_words=W,
+    )
+
+
+def load_text_vocabulary(path: str) -> Vocabulary:
+    """Load the DBoW2/ORB-SLAM2 text format (parity with loadFromTextFile,
+    reference: src/orbvocabulary.cpp:39-118): header ``k L s1 s2`` then one
+    node per line: ``parent_id is_leaf d0..d31 weight``."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        rows = [line.split() for line in f if line.strip()]
+    n = len(rows) + 1
+    node_desc = np.zeros((n, 32), np.uint8)
+    children: list[list[int]] = [[] for _ in range(n)]
+    node_word = -np.ones(n, np.int32)
+    weights = []
+    for i, row in enumerate(rows):
+        nid = i + 1
+        parent = int(row[0])
+        is_leaf = int(row[1])
+        node_desc[nid] = np.asarray(row[2:34], np.uint16).astype(np.uint8)
+        children[parent].append(nid)
+        if is_leaf:
+            node_word[nid] = len(weights)
+            weights.append(float(row[34]))
+    ch = -np.ones((n, k), np.int32)
+    for i, c in enumerate(children):
+        ch[i, : min(len(c), k)] = c[:k]
+    return Vocabulary(
+        node_desc=jnp.asarray(node_desc.view(np.uint32).reshape(n, 8)),
+        children=jnp.asarray(ch),
+        node_word=jnp.asarray(node_word),
+        word_weight=jnp.asarray(np.asarray(weights, np.float32)),
+        levels=L,
+        branching=k,
+        n_words=len(weights),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side transform + scoring
+# ---------------------------------------------------------------------------
+
+
+def _hamming_to_nodes(desc, node_descs):
+    """[F, 8] vs [F, k, 8] -> [F, k] int32."""
+    x = jax.lax.population_count(desc[:, None, :] ^ node_descs)
+    return jnp.sum(x, axis=-1).astype(jnp.int32)
+
+
+def _jit_with_static_vocab(fn):
+    """jit wrapper treating the Vocabulary's int fields as static and its
+    arrays as ordinary traced inputs."""
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapped(vocab: Vocabulary, *args):
+        key = (vocab.levels, vocab.branching, vocab.n_words)
+        if key not in cache:
+            def inner(arrays, *rest, _key=key):
+                v = Vocabulary(*arrays, *_key)
+                return fn(v, *rest)
+            cache[key] = jax.jit(inner)
+        arrays = (vocab.node_desc, vocab.children, vocab.node_word,
+                  vocab.word_weight)
+        return cache[key](arrays, *args)
+
+    return wrapped
+
+
+@_jit_with_static_vocab
+def transform(vocab: Vocabulary, desc, valid):
+    """Descend the tree for all features at once.
+
+    Returns ``(word_ids [F] int32, node_path_l2 [F] int32)`` — word id per
+    feature (-1 invalid) and the node at depth 2 used for BoW-gated matching
+    (the reference gates at level L-4 of a 6-deep tree,
+    reference: src/orbvocabulary.cpp:224-230; depth-2 nodes play that role
+    for our shallower trained trees).
+    """
+    F = desc.shape[0]
+    cur = jnp.zeros((F,), jnp.int32)
+    node_at = [cur]
+    for _ in range(vocab.levels):
+        ch = vocab.children[cur]                       # [F, k]
+        has_child = ch >= 0
+        ch_safe = jnp.clip(ch, 0, vocab.node_desc.shape[0] - 1)
+        d = _hamming_to_nodes(desc, vocab.node_desc[ch_safe])
+        d = jnp.where(has_child, d, jnp.iinfo(jnp.int32).max)
+        nxt = jnp.take_along_axis(ch_safe, jnp.argmin(d, axis=1)[:, None], axis=1)[:, 0]
+        # leaves stop descending (keep current node)
+        any_child = jnp.any(has_child, axis=1)
+        cur = jnp.where(any_child, nxt, cur)
+        node_at.append(cur)
+    word = vocab.node_word[cur]
+    word = jnp.where(valid, word, -1)
+    gate_depth = min(2, vocab.levels)
+    node_l2 = jnp.where(valid, node_at[gate_depth], -1)
+    return word, node_l2
+
+
+@_jit_with_static_vocab
+def bow_vector(vocab: Vocabulary, word_ids):
+    """Dense L1-normalized tf-idf vector ``[W]`` from per-feature word ids."""
+    W = vocab.n_words
+    ok = word_ids >= 0
+    tf = jnp.zeros((W,), jnp.float32).at[
+        jnp.where(ok, word_ids, 0)
+    ].add(jnp.where(ok, 1.0, 0.0))
+    v = tf * vocab.word_weight
+    s = jnp.sum(v)
+    return v / jnp.where(s > 0, s, 1.0)
+
+
+def bow_score(v1, v2):
+    """Correct DBoW2 L1 score: sum of elementwise minima of L1-normalized
+    vectors (== 1 - 0.5*||v1-v2||_1).  Fixes the reference's GetScore
+    iterator bug (reference: src/orbvocabulary.cpp:129)."""
+    return jnp.sum(jnp.minimum(v1, v2), axis=-1)

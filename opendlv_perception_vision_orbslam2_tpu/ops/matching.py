@@ -130,6 +130,48 @@ def search_by_projection(
     return ProjectionMatches(dst_idx=best, dist=best_d, valid=ok)
 
 
+def search_by_bow(
+    desc_a, node_a, valid_a, angle_a,
+    desc_b, node_b, valid_b, angle_b,
+    *,
+    max_dist: int = 50,          # TH_LOW (reference: src/orbmatcher.cpp:36)
+    nn_ratio: float = 0.75,
+    check_rotation: bool = True,
+):
+    """BoW-node-gated descriptor matching (SearchByBoW, reference:
+    src/orbmatcher.cpp:164-292 KF<->frame and :531-663 KF<->KF).
+
+    The reference walks the two feature vectors' shared vocabulary nodes;
+    here the node agreement is a dense boolean gate on the Hamming matrix —
+    identical association rule (same-node candidates, best + ratio test +
+    rotation histogram), one masked argmin.  Returns
+    ``(b_idx_per_a [A], valid [A])``.
+    """
+    gate = (
+        (node_a[:, None] == node_b[None, :])
+        & (node_a[:, None] >= 0)
+        & valid_a[:, None] & valid_b[None, :]
+    )
+    dist = hamming_matrix(desc_a, desc_b)
+    big = MAX_DIST + 1
+    d = jnp.where(gate, dist, big)
+    best = jnp.argmin(d, axis=1)
+    best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best].set(big)
+    second = jnp.min(d2, axis=1)
+    ok = (best_d <= max_dist) & (
+        best_d.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32)
+    )
+    if check_rotation:
+        ok = rotation_consistency_mask(angle_a, angle_b, best, ok)
+    # one a per b (cross-duplicate resolution)
+    m = resolve_duplicate_targets(
+        ProjectionMatches(dst_idx=best, dist=best_d, valid=ok),
+        desc_b.shape[0],
+    )
+    return m.dst_idx, m.valid
+
+
 def resolve_duplicate_targets(matches: ProjectionMatches, n_dst: int):
     """Keep only the lowest-distance source per destination feature
     (scatter-min), mirroring the reference's implicit one-point-per-keypoint
