@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import lie, matching
 from ..ops.hamming import MAX_DIST, TH_HIGH, hamming_matrix
@@ -312,11 +313,14 @@ def apply_point_counters(m: MapState, vis_delta, found_delta) -> MapState:
 
 
 class StereoSlam:
-    """Host scheduler for the full pipeline (BASELINE config 2): per-frame
-    tracking stage + keyframe/local-BA stage, mirroring the reference's
-    Selflocalization orchestration minus loop closing."""
+    """Host scheduler for the full pipeline (BASELINE configs 2-3):
+    per-frame tracking stage + keyframe/local-BA stage + loop closing +
+    relocalization, mirroring the reference's Selflocalization orchestration
+    (reference: src/selflocalization.cpp:330-377 wiring)."""
 
-    def __init__(self, config: SystemConfig):
+    def __init__(self, config: SystemConfig, vocab=None,
+                 enable_loop_closing: bool = True,
+                 enable_relocalization: bool = True):
         self.config = config
         self.map = empty_map(
             config.max_keyframes, config.max_map_points, config.orb.max_keypoints
@@ -330,6 +334,80 @@ class StereoSlam:
         self.trajectory: list = []
         self.lost = False
         self.n_keyframes = 0
+        # place recognition state (vocabulary may arrive lazily: the
+        # reference loads ORBvoc.txt which does not ship; we train from the
+        # first keyframe's descriptors when none is given)
+        self.vocab = vocab
+        self.enable_loop_closing = enable_loop_closing
+        self.enable_relocalization = enable_relocalization
+        self.db = None
+        self.kf_nodes = None
+        self.loop_closer = None
+        self.loops_closed = 0
+        self._reloc_key = jax.random.PRNGKey(11)
+
+    def _ensure_vocab(self, frame: FrameState):
+        if self.vocab is not None or not (
+            self.enable_loop_closing or self.enable_relocalization
+        ):
+            return
+        from . import vocabulary as voc
+
+        descs = np.asarray(frame.features.desc)[np.asarray(frame.features.valid)]
+        if len(descs) < 64:
+            return
+        self.vocab = voc.train_vocabulary(descs, branching=8, levels=3, seed=0)
+
+    def _register_keyframe(self, slot: int):
+        """BoW row + node table + loop detection for a new keyframe."""
+        if self.vocab is None:
+            return
+        from . import vocabulary as voc
+        from .kfdb import add_keyframe, empty_kfdb
+        from .loop_closing import LoopCloser
+
+        if self.db is None:
+            self.db = empty_kfdb(self.config.max_keyframes, self.vocab.n_words)
+            self.kf_nodes = -jnp.ones(
+                (self.config.max_keyframes, self.config.orb.max_keypoints),
+                jnp.int32,
+            )
+            self.loop_closer = LoopCloser(self.config)
+
+        words, nodes = voc.transform(
+            self.vocab, self.map.kf_desc[slot], self.map.kf_feat_valid[slot]
+        )
+        self.db = add_keyframe(self.db, slot, voc.bow_vector(self.vocab, words))
+        self.kf_nodes = self.kf_nodes.at[slot].set(nodes)
+        # drop rows of culled keyframes
+        self.db = self.db._replace(has_row=self.db.has_row & self.map.kf_valid)
+
+        if self.enable_loop_closing and self.loop_closer is not None:
+            self.map, closed, T_corr = self.loop_closer.on_keyframe(
+                self.map, self.db, self.kf_nodes, slot
+            )
+            if closed:
+                self.loops_closed += 1
+                self.T_cw = self.map.kf_T_cw[slot]
+                self.velocity = jnp.eye(4, dtype=jnp.float32)
+
+    def _try_relocalize(self, cur: FrameState):
+        if not self.enable_relocalization or self.db is None:
+            return False
+        from .relocalization import relocalize
+
+        self._reloc_key, sub = jax.random.split(self._reloc_key)
+        res = relocalize(
+            self.map, self.db, self.kf_nodes, self.vocab, cur,
+            self.config, sub,
+        )
+        if res.success:
+            self.T_cw = res.T_cw
+            self.velocity = jnp.eye(4, dtype=jnp.float32)
+            self.last_bindings = res.bindings
+            self.lost = False
+            return True
+        return False
 
     @property
     def _th_far(self):
@@ -350,6 +428,7 @@ class StereoSlam:
             self.map = cull_keyframes(self.map, slot)
         self.n_keyframes += 1
         self.frames_since_kf = 0
+        self._register_keyframe(int(slot))
         # re-read bindings after culling/BA (points may have died)
         return self.map.kf_obs_point[slot]
 
@@ -364,6 +443,7 @@ class StereoSlam:
             n_depth = int(jnp.sum(cur.features.depth > 0))
             if n_depth < 100:
                 return None
+            self._ensure_vocab(cur)
             bindings = self._insert_keyframe(
                 cur, -jnp.ones((cur.features.capacity,), jnp.int32)
             )
@@ -383,6 +463,9 @@ class StereoSlam:
         T_new = out.T_cw
         n_inl = int(out.n_inliers)
         self.lost = n_inl < MIN_INLIERS_MAP
+        if self.lost and self._try_relocalize(cur):
+            T_new = self.T_cw
+            out = out._replace(bindings=self.last_bindings)
         self.velocity = T_new @ lie.inv_T(self.T_cw)
         self.T_cw = T_new
         cur = cur._replace(T_cw=T_new)

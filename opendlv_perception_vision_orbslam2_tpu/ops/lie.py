@@ -53,10 +53,15 @@ def exp_so3(phi):
 
 
 def log_so3(R):
-    """Inverse Rodrigues: ``[..., 3, 3]`` -> ``[..., 3]`` axis-angle."""
+    """Inverse Rodrigues: ``[..., 3, 3]`` -> ``[..., 3]`` axis-angle.
+
+    AD-safe at the identity: theta comes from atan2(|w|, cos) with an
+    epsilon-padded norm instead of arccos, so forward-mode Jacobians of
+    pose-graph residuals at zero error are finite (arccos'(1) = -inf would
+    poison the whole normal system otherwise).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     # Antisymmetric part -> axis * sin(theta)
     w = 0.5 * jnp.stack(
         [
@@ -66,8 +71,9 @@ def log_so3(R):
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
-    scale = jnp.where(theta < 1e-6, 1.0 + theta * theta / 6.0, theta / (sin_theta + _EPS))
+    sin_theta = jnp.sqrt(jnp.sum(w * w, axis=-1) + _EPS * _EPS)
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    scale = theta / sin_theta          # >= _EPS, safe and smooth near 0
     w_gen = w * scale[..., None]
     # Near theta = pi the antisymmetric part vanishes; recover axis from the
     # symmetric part: R + I = 2 (I + hat^2/theta^2 ...) -> axis^2 from diagonal.
