@@ -1,0 +1,129 @@
+"""Selflocalization orchestrator: SLAM engine + publishing + file dumps.
+
+Capability parity with the reference orchestrator class
+(reference: src/selflocalization.cpp / include/selflocalization.hpp:43-104):
+owns the SLAM engine, converts poses to ENU/WGS84 Geolocation messages
+(sendPose, reference: :301-328), publishes the map in 2500-coordinate chunks
+(sendMap, reference: :136-262), and writes poses.txt / map.txt / fps.txt at
+shutdown (reference: :95-134).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+
+from ..io.messages import Geolocation, chunk_map_messages
+from ..io.od4 import NullSession
+from ..utils import trajectory as traj_utils
+from ..utils import wgs84
+from ..utils.config import SystemConfig
+from .slam import StereoSlam
+from .tracking import StereoVisualOdometry
+
+
+class Selflocalization:
+    def __init__(self, config: SystemConfig, od4=None, vocab=None,
+                 tracking_only: bool = False):
+        self.config = config
+        self.od4 = od4 or NullSession()
+        if tracking_only:
+            self.slam = StereoVisualOdometry(config)
+        else:
+            self.slam = StereoSlam(config, vocab=vocab)
+        self.frame_count = 0
+        self.latencies: list[float] = []
+        self.map_sizes: list[int] = []
+
+    # ------------------------------------------------------------------
+    # Frame ingestion (Track, reference: src/selflocalization.cpp:533-558)
+    # ------------------------------------------------------------------
+
+    def track(self, img_left, img_right, timestamp: float = 0.0):
+        t0 = time.time()
+        T = self.slam.process(img_left, img_right, timestamp)
+        self.latencies.append(time.time() - t0)
+        self.map_sizes.append(self._map_size())
+        self.frame_count += 1
+        self.send_pose()
+        self.send_map()
+        return T
+
+    def _map_size(self) -> int:
+        m = getattr(self.slam, "map", None)
+        if m is None:
+            return 0
+        return int(np.asarray(m.pt_valid).sum())
+
+    # ------------------------------------------------------------------
+    # Publishing (sendPose/sendMap, reference: :136-328)
+    # ------------------------------------------------------------------
+
+    def send_pose(self):
+        if not self.slam.trajectory:
+            return
+        T = np.asarray(self.slam.trajectory[-1], dtype=np.float64)
+        R, t = T[:3, :3], T[:3, 3]
+        c = -R.T @ t  # camera center in SLAM world (x right, y down, z fwd)
+        # ENU rotation by start heading, then WGS84 around the reference
+        # point (reference: :301-328)
+        h = self.config.start_heading
+        east = c[2] * math.sin(h) + c[0] * math.cos(h)
+        north = c[2] * math.cos(h) - c[0] * math.sin(h)
+        lat, lon = wgs84.from_cartesian(
+            (self.config.ref_latitude, self.config.ref_longitude),
+            (east, north),
+        )
+        yaw = math.atan2(R[0, 2], R[2, 2])
+        self.od4.send(Geolocation(
+            latitude=lat, longitude=lon, altitude=float(-c[1]),
+            heading=h + yaw,
+        ))
+
+    def send_map(self):
+        # trajectory + full map resent every 20 frames (reference: :88-99)
+        if self.frame_count % 20 != 0:
+            return
+        m = getattr(self.slam, "map", None)
+        if m is None or not self.slam.trajectory:
+            return
+        pts = np.asarray(m.pt_pos)[np.asarray(m.pt_valid)]
+        for msg in chunk_map_messages(
+            np.asarray(self.slam.trajectory[-1]), pts.tolist()
+        ):
+            self.od4.send(msg)
+
+    # ------------------------------------------------------------------
+    # Dumps (reference: :95-134 + src/tracking.cpp:1449-1536)
+    # ------------------------------------------------------------------
+
+    def write_pose_file(self, directory: str):
+        traj_utils.write_pose_file(
+            os.path.join(directory, "poses.txt"),
+            [np.asarray(T) for T in self.slam.trajectory],
+        )
+
+    def write_map_file(self, directory: str):
+        m = getattr(self.slam, "map", None)
+        pts = (
+            np.asarray(m.pt_pos)[np.asarray(m.pt_valid)]
+            if m is not None else np.zeros((0, 3))
+        )
+        with open(os.path.join(directory, "map.txt"), "w") as f:
+            for p in pts:
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+
+    def write_fps_file(self, directory: str):
+        traj_utils.write_fps_file(
+            os.path.join(directory, "fps.txt"), self.latencies, self.map_sizes
+        )
+
+    def shutdown(self, directory: str | None = None):
+        if directory:
+            self.write_pose_file(directory)
+            self.write_map_file(directory)
+            self.write_fps_file(directory)
+        self.od4.close()
