@@ -57,3 +57,18 @@ def process_stereo(img_left, img_right, config: SystemConfig, timestamp=0.0):
         point_cam=point_cam,
         timestamp=jnp.asarray(timestamp, jnp.float32),
     )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def process_mono(img, config: SystemConfig, timestamp=0.0):
+    """Monocular front-end: extraction only (GrabImageMonocular path,
+    reference: src/tracking.cpp:233-260) — no stereo depth."""
+    orb = config.orb
+    levels = image_ops.build_pyramid(img, orb.n_levels, orb.scale_factor)
+    feats = extract_from_pyramid(levels, orb)
+    return FrameState(
+        features=feats,
+        T_cw=jnp.eye(4, dtype=jnp.float32),
+        point_cam=jnp.zeros((feats.capacity, 3), jnp.float32),
+        timestamp=jnp.asarray(timestamp, jnp.float32),
+    )

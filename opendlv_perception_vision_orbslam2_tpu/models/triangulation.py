@@ -1,0 +1,208 @@
+"""New map-point triangulation against covisible keyframes.
+
+Re-designs Mapping::CreateNewMapPoints (reference: src/mapping.cpp:280-525)
++ ORBmatcher::SearchForTriangulation (reference: src/orbmatcher.cpp:665-832):
+for the freshly inserted keyframe and each of its best covisible neighbours,
+match unbound features along the epipolar constraint, DLT-triangulate, and
+keep candidates passing the parallax / cheirality / reprojection-chi2 /
+scale-consistency gates.  Monocular depends on this entirely; stereo uses it
+to densify beyond the close stereo band (the reference's far-point source).
+
+Array form: each (new KF, neighbour) pair is one dense masked program —
+``[F, F]`` BoW-node-gated Hamming with an epipolar-distance gate, batched
+DLT via the shared SVD triangulator, and rank-allocated point slots.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.hamming import MAX_DIST, TH_LOW, hamming_matrix
+from ..utils.config import SystemConfig
+from .map_state import MapState, _alloc_point_slots, recompute_covisibility
+
+N_TRI_NEIGHBORS = 10   # stereo (mono uses 20, reference: src/mapping.cpp:286)
+
+
+def _fundamental_from_poses(T1_cw, T2_cw, K):
+    """F12 such that x2^T F12 x1 = 0 (ComputeF12, reference:
+    src/mapping.cpp:712-724)."""
+    T12 = T1_cw @ lie.inv_T(T2_cw)
+    R12 = T12[:3, :3]
+    t12 = T12[:3, 3]
+    E = lie.hat(t12) @ R12
+    K_inv = jnp.linalg.inv(K)
+    return K_inv.T @ E @ K_inv
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def triangulate_with_neighbor(m: MapState, kf1, kf2, config: SystemConfig):
+    """Create new points from unmatched features of keyframes kf1/kf2.
+
+    Returns the updated map.  All gates follow the reference's
+    CreateNewMapPoints checks (reference: src/mapping.cpp:391-505).
+    """
+    cam = config.camera
+    P, F = m.pt_capacity, m.feat_capacity
+    K = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
+
+    T1 = m.kf_T_cw[kf1]
+    T2 = m.kf_T_cw[kf2]
+    c1 = lie.inv_T(T1)[:3, 3]
+    c2 = lie.inv_T(T2)[:3, 3]
+    baseline = jnp.linalg.norm(c2 - c1)
+
+    unb1 = m.kf_feat_valid[kf1] & (m.kf_obs_point[kf1] < 0)
+    unb2 = m.kf_feat_valid[kf2] & (m.kf_obs_point[kf2] < 0)
+    xy1 = m.kf_xy[kf1]
+    xy2 = m.kf_xy[kf2]
+    oct1 = m.kf_octave[kf1]
+    oct2 = m.kf_octave[kf2]
+
+    # epipolar gate: distance of kp2 to the epipolar line of kp1
+    F12 = _fundamental_from_poses(T1, T2, K)
+    ones = jnp.ones((F, 1))
+    x1h = jnp.concatenate([xy1, ones], axis=1)
+    lines2 = x1h @ F12.T                                     # [F, 3]
+    num = (
+        lines2[:, None, 0] * xy2[None, :, 0]
+        + lines2[:, None, 1] * xy2[None, :, 1]
+        + lines2[:, None, 2]
+    ) ** 2
+    den = lines2[:, None, 0] ** 2 + lines2[:, None, 1] ** 2
+    sigma2_2 = jnp.power(
+        jnp.float32(config.orb.scale_factor), 2.0 * oct2.astype(jnp.float32)
+    )
+    epi_ok = num / jnp.maximum(den, 1e-9) < 3.84 * sigma2_2[None, :]
+    # not-too-close-to-epipole (mono guard, reference: src/orbmatcher.cpp:740-756)
+    ep2 = lie.project(
+        lie.transform_points(T2[None], c1[None, None, :])[0],
+        cam.fx, cam.fy, cam.cx, cam.cy,
+    )[0]
+    d_ep = jnp.sum((xy2 - ep2[None, :]) ** 2, axis=1)
+    scale2 = jnp.power(jnp.float32(config.orb.scale_factor), oct2.astype(jnp.float32))
+    epipole_ok = d_ep >= 100.0 * scale2
+
+    oct_ok = jnp.abs(oct1[:, None] - oct2[None, :]) <= 1
+    gate = (
+        epi_ok & oct_ok
+        & unb1[:, None] & (unb2 & epipole_ok)[None, :]
+    )
+    dist = hamming_matrix(m.kf_desc[kf1], m.kf_desc[kf2])
+    big = MAX_DIST + 1
+    d = jnp.where(gate, dist, big)
+    best2 = jnp.argmin(d, axis=1)
+    best_d = jnp.take_along_axis(d, best2[:, None], axis=1)[:, 0]
+    matched = best_d <= TH_LOW
+
+    # one kf1 feature per kf2 feature
+    dd = jnp.where(matched, best_d, big)
+    best_per_2 = jnp.full((F,), big, dd.dtype).at[best2].min(dd)
+    keep = matched & (dd <= jnp.take(best_per_2, best2))
+    order = jnp.arange(F)
+    first = jnp.full((F,), F).at[best2].min(jnp.where(keep, order, F))
+    keep = keep & (jnp.take(first, best2) == order)
+
+    # triangulate
+    P1 = K @ T1[:3, :]
+    P2 = K @ T2[:3, :]
+    uv2_m = xy2[best2]
+    X = lie.triangulate_linear(P1, P2, xy1, uv2_m)           # [F, 3]
+
+    # gates: cheirality, reprojection, parallax, scale consistency
+    pc1 = lie.transform_points(T1[None], X[None])[0]
+    pc2 = lie.transform_points(T2[None], X[None])[0]
+    z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
+
+    uv1_hat = lie.project(pc1, cam.fx, cam.fy, cam.cx, cam.cy)
+    uv2_hat = lie.project(pc2, cam.fx, cam.fy, cam.cx, cam.cy)
+    sigma2_1 = jnp.power(
+        jnp.float32(config.orb.scale_factor), 2.0 * oct1.astype(jnp.float32)
+    )
+    e1 = jnp.sum((uv1_hat - xy1) ** 2, axis=1)
+    e2 = jnp.sum((uv2_hat - uv2_m) ** 2, axis=1)
+    reproj_ok = (e1 <= 5.991 * sigma2_1) & (
+        e2 <= 5.991 * sigma2_2[best2]
+    )
+
+    r1 = X - c1
+    r2 = X - c2
+    d1 = jnp.linalg.norm(r1, axis=1) + 1e-9
+    d2 = jnp.linalg.norm(r2, axis=1) + 1e-9
+    cos_par = jnp.sum(r1 * r2, axis=1) / (d1 * d2)
+    parallax_ok = cos_par < 0.9998
+
+    ratio_dist = d2 / d1
+    ratio_octave = jnp.power(
+        jnp.float32(config.orb.scale_factor),
+        (oct2[best2] - oct1).astype(jnp.float32),
+    )
+    rf = 1.5 * config.orb.scale_factor
+    scale_ok = (ratio_dist < ratio_octave * rf) & (
+        ratio_dist > ratio_octave / rf
+    )
+
+    want = keep & z_ok & reproj_ok & parallax_ok & scale_ok & (baseline > 0.01)
+
+    # allocate + write new points
+    slots = _alloc_point_slots(m.pt_valid, want)
+    created = slots >= 0
+    safe = jnp.where(created, slots, P - 1)
+
+    view = X - c1
+    normal = view / (jnp.linalg.norm(view, axis=1, keepdims=True) + 1e-9)
+    scale1 = jnp.power(jnp.float32(config.orb.scale_factor), oct1.astype(jnp.float32))
+    max_dist = d1 * scale1
+    min_dist = max_dist / jnp.power(
+        jnp.float32(config.orb.scale_factor), float(config.orb.n_levels - 1)
+    )
+
+    def upd(arr, vals):
+        mask = created.reshape((-1,) + (1,) * (vals.ndim - 1))
+        return arr.at[safe].set(jnp.where(mask, vals, arr[safe]))
+
+    m = m._replace(
+        pt_valid=m.pt_valid.at[safe].set(created | m.pt_valid[safe]),
+        pt_pos=upd(m.pt_pos, X),
+        pt_desc=upd(m.pt_desc, m.kf_desc[kf1]),
+        pt_normal=upd(m.pt_normal, normal),
+        pt_min_dist=upd(m.pt_min_dist, min_dist),
+        pt_max_dist=upd(m.pt_max_dist, max_dist),
+        pt_ref_kf=upd(m.pt_ref_kf, jnp.full((F,), 0, jnp.int32) + kf1),
+        pt_first_kf_id=upd(
+            m.pt_first_kf_id, jnp.full((F,), 0, jnp.int32) + m.kf_id[kf1]
+        ),
+        pt_visible=upd(m.pt_visible, jnp.ones((F,), jnp.int32)),
+        pt_found=upd(m.pt_found, jnp.ones((F,), jnp.int32)),
+    )
+    # bind in both keyframes
+    row1 = m.kf_obs_point[kf1].at[jnp.where(created, order, 0)].max(
+        jnp.where(created, slots, -1)
+    )
+    f2_tgt = jnp.where(created, best2, 0)
+    row2 = m.kf_obs_point[kf2].at[f2_tgt].max(jnp.where(created, slots, -1))
+    m = m._replace(
+        kf_obs_point=m.kf_obs_point.at[kf1].set(row1).at[kf2].set(row2)
+    )
+    return m
+
+
+def create_new_map_points(m: MapState, new_kf_slot, config: SystemConfig,
+                          n_neighbors: int = N_TRI_NEIGHBORS) -> MapState:
+    """Triangulate against the best covisible neighbours (host loop; each
+    pair is one jitted program)."""
+    import numpy as np
+
+    w = np.asarray(m.covis[new_kf_slot])
+    order = np.argsort(-w)[:n_neighbors]
+    for nb in order:
+        if w[nb] <= 0:
+            break
+        m = triangulate_with_neighbor(
+            m, new_kf_slot, int(nb), config
+        )
+    return m._replace(covis=recompute_covisibility(m))

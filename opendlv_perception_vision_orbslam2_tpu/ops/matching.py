@@ -25,6 +25,7 @@ from . import lie
 from .hamming import (
     MAX_DIST,
     TH_HIGH,
+    TH_LOW,
     hamming_matrix,
     rotation_consistency_mask,
 )
@@ -128,6 +129,37 @@ def search_by_projection(
         )
 
     return ProjectionMatches(dst_idx=best, dist=best_d, valid=ok)
+
+
+def search_for_initialization(
+    feats_a, feats_b, *, window: float = 100.0, nn_ratio: float = 0.9,
+    max_dist: int = TH_LOW, check_rotation: bool = True,
+):
+    """Window-gated matching for monocular initialization
+    (SearchForInitialization, reference: src/orbmatcher.cpp:411-529): only
+    level-0 keypoints, +-window px search box, best/second ratio 0.9 and the
+    rotation-consistency histogram.  Returns (b_idx [A], valid [A])."""
+    d_uv = feats_b.xy[None, :, :] - feats_a.xy[:, None, :]
+    within = jnp.maximum(jnp.abs(d_uv[..., 0]), jnp.abs(d_uv[..., 1])) <= window
+    lvl0 = (feats_a.octave[:, None] == 0) & (feats_b.octave[None, :] == 0)
+    gate = within & lvl0 & feats_a.valid[:, None] & feats_b.valid[None, :]
+    dist = hamming_matrix(feats_a.desc, feats_b.desc)
+    big = MAX_DIST + 1
+    d = jnp.where(gate, dist, big)
+    best = jnp.argmin(d, axis=1)
+    best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best].set(big)
+    second = jnp.min(d2, axis=1)
+    ok = (best_d <= max_dist) & (
+        best_d.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32)
+    )
+    if check_rotation:
+        ok = rotation_consistency_mask(feats_a.angle, feats_b.angle, best, ok)
+    m = resolve_duplicate_targets(
+        ProjectionMatches(dst_idx=best, dist=best_d, valid=ok),
+        feats_b.xy.shape[0],
+    )
+    return m.dst_idx, m.valid
 
 
 def search_by_bow(

@@ -1,0 +1,108 @@
+"""Monocular pipeline tests: triangulation unit test + mono SLAM bootstrap
+and tracking on the synthetic rendered sequence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from opendlv_perception_vision_orbslam2_tpu.models import map_state as ms
+from opendlv_perception_vision_orbslam2_tpu.models.triangulation import (
+    triangulate_with_neighbor,
+)
+from opendlv_perception_vision_orbslam2_tpu.models.mono_slam import MonocularSlam
+from opendlv_perception_vision_orbslam2_tpu.models.frame import FrameState, empty_features
+from opendlv_perception_vision_orbslam2_tpu.utils import synthetic, trajectory
+from opendlv_perception_vision_orbslam2_tpu.utils.config import (
+    CameraConfig,
+    OrbConfig,
+    SystemConfig,
+    TrackingConfig,
+)
+
+CAM = CameraConfig(fx=320.0, fy=320.0, cx=256.0, cy=128.0, bf=160.0,
+                   width=512, height=256)
+F = 256
+
+
+def _mono_frame(T_cw, pts, descs, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    p_c = pts @ np.asarray(T_cw)[:3, :3].T + np.asarray(T_cw)[:3, 3]
+    n = len(pts)
+    u = CAM.fx * p_c[:, 0] / p_c[:, 2] + CAM.cx + rng.normal(0, noise, n)
+    v = CAM.fy * p_c[:, 1] / p_c[:, 2] + CAM.cy + rng.normal(0, noise, n)
+    feats = empty_features(F)._replace(
+        xy=jnp.zeros((F, 2)).at[:n].set(
+            jnp.asarray(np.stack([u, v], -1).astype(np.float32))),
+        desc=jnp.zeros((F, 8), jnp.uint32).at[:n].set(jnp.asarray(descs)),
+        valid=jnp.zeros((F,), bool).at[:n].set(True),
+    )
+    return FrameState(
+        features=feats, T_cw=jnp.asarray(T_cw),
+        point_cam=jnp.zeros((F, 3)), timestamp=jnp.asarray(0.0),
+    )
+
+
+def test_triangulation_creates_points_between_keyframes():
+    rng = np.random.default_rng(0)
+    n = 150
+    pts = np.stack(
+        [rng.uniform(-8, 8, n), rng.uniform(-3, 3, n), rng.uniform(6, 30, n)],
+        axis=-1,
+    ).astype(np.float32)
+    descs = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    cfg = SystemConfig(camera=CAM, orb=OrbConfig(max_keypoints=F))
+
+    T0 = np.eye(4, dtype=np.float32)
+    T1 = np.eye(4, dtype=np.float32)
+    T1[0, 3] = -0.8  # sideways baseline
+
+    m = ms.empty_map(8, 4096, F)
+    f0 = _mono_frame(T0, pts, descs, noise=0.2, seed=1)
+    f1 = _mono_frame(T1, pts, descs, noise=0.2, seed=2)
+    # insert both with NO points (mono: close_depth_limit < 0 creates none)
+    m, s0 = ms.insert_keyframe(m, f0, -jnp.ones((F,), jnp.int32), -1.0)
+    m, s1 = ms.insert_keyframe(m, f1, -jnp.ones((F,), jnp.int32), -1.0)
+    assert int(jnp.sum(m.pt_valid)) == 0
+
+    m = triangulate_with_neighbor(m, 1, 0, cfg)
+    n_created = int(jnp.sum(m.pt_valid))
+    assert n_created > 100
+    # positions match the true world points (bindings: kf1 feature i -> world i)
+    binds = np.asarray(m.kf_obs_point[1][:n])
+    got = binds >= 0
+    est = np.asarray(m.pt_pos)[binds[got]]
+    err = np.linalg.norm(est - pts[got], axis=1) / pts[got][:, 2]
+    assert np.median(err) < 0.05
+    # both keyframes observe them
+    binds0 = np.asarray(m.kf_obs_point[0][:n])
+    assert (binds0 >= 0).sum() > 100
+
+
+@pytest.mark.slow
+def test_mono_slam_bootstrap_and_tracking():
+    cfg = SystemConfig(
+        camera=CAM,
+        orb=OrbConfig(n_features=600, max_keypoints=1024, n_levels=4),
+        tracking=TrackingConfig(max_frames=4),
+        max_keyframes=32,
+        max_map_points=16384,
+    )
+    n_frames = 10
+    # sideways-dominant motion gives parallax for mono init
+    lefts, _, gt_poses, _ = synthetic.render_stereo_sequence(
+        cfg, n_frames=n_frames, n_points=600, seed=9, step=0.35, yaw_rate=0.02
+    )
+    slam = MonocularSlam(cfg, enable_loop_closing=False,
+                         enable_relocalization=False)
+    slam.min_init_matches = 60  # scaled for the 600-feature test budget
+                                # (reference's 100 assumes 2x2000 features)
+    initialized_at = None
+    for i in range(n_frames):
+        T = slam.process(lefts[i], timestamp=i * 0.1)
+        if slam.initialized and initialized_at is None:
+            initialized_at = i
+    assert slam.initialized, "monocular bootstrap failed"
+    assert slam.n_keyframes >= 2
+    assert int(jnp.sum(slam.map.pt_valid)) > 50
+    # after init, tracking must survive
+    assert not slam.lost

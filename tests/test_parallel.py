@@ -59,3 +59,37 @@ def test_sharded_pose_gn_matches_truth():
     assert np.linalg.norm(err[:3]) < 1e-3
     assert np.linalg.norm(err[3:]) < 1e-4
     assert int(n_inl) == 512
+
+
+def test_sharded_gba_matches_single_device():
+    """Edge-sharded Schur-CG BA over the 8-device mesh must agree with the
+    single-device solver."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ba import CAM as BACAM, _make_ba_problem, _pose_errors
+    from opendlv_perception_vision_orbslam2_tpu.optim.gba import (
+        global_bundle_adjust,
+    )
+    from opendlv_perception_vision_orbslam2_tpu.parallel.sharded_ba import (
+        make_sharded_gba,
+        pad_edges_to_multiple,
+        shard_problem,
+    )
+
+    T_gt, pts_gt, prob = _make_ba_problem(0)
+    T_ref, pts_ref, _ = global_bundle_adjust(
+        prob, **BACAM, n_outer=8, cg_iters=30
+    )
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("edges",))
+    prob_p = pad_edges_to_multiple(prob, 8)
+    prob_s = shard_problem(prob_p, mesh, "edges")
+    run = make_sharded_gba(mesh, "edges", **BACAM, n_outer=8, cg_iters=30)
+    T_sh, pts_sh, cost = run(prob_s)
+
+    errs_t, errs_r = _pose_errors(T_gt, np.asarray(T_sh))
+    assert errs_t.max() < 0.02
+    # sharded and single-device solutions agree tightly
+    np.testing.assert_allclose(
+        np.asarray(T_sh), np.asarray(T_ref), atol=5e-3
+    )
