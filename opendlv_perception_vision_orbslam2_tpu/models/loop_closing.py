@@ -278,6 +278,11 @@ class LoopCloser:
             return m, False, None
 
         m = correct_loop(m, kf_slot, accepted, lm.T_rel)
+        # full-map refinement (RunGlobalBundleAdjustment, reference:
+        # src/loopclosing.cpp:645-750: GBA with 10 iterations after a loop)
+        from .global_ba import run_global_ba
+
+        m = run_global_ba(m, self.config, n_outer=10)
         self.last_loop_kf_id = kf_id
         self.prev_groups, self.prev_counts = [], []
         return m, True, m.kf_T_cw[kf_slot]
