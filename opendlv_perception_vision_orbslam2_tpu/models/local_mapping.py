@@ -197,4 +197,10 @@ def local_mapping_step(m: MapState, center_slot, config: SystemConfig,
         fix_first_pose=True,  # oldest local KF anchors the gauge (see extract)
     )
     m = write_back_local_ba(m, ext, res.T_opt, res.pts, res.edge_inlier)
+    # refresh point statistics after the window settles (reference refreshes
+    # descriptors/normals in SearchInNeighbors, src/mapping.cpp:627-640)
+    from .map_state import refresh_distinctive_descriptors, refresh_point_stats
+
+    m = refresh_distinctive_descriptors(m)
+    m = refresh_point_stats(m)
     return m._replace(covis=recompute_covisibility(m))

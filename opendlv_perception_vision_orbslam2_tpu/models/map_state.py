@@ -299,6 +299,65 @@ def point_observation_counts(m: MapState) -> jnp.ndarray:
     return counts.at[P - 1].set(0)
 
 
+OBS_DESC_CAP = 16  # observation descriptors considered per point
+
+
+@jax.jit
+def refresh_distinctive_descriptors(m: MapState) -> MapState:
+    """Min-median-Hamming distinctive descriptor per point.
+
+    Exact semantics of OrbMapPoint::ComputeDistinctiveDescriptors
+    (reference: src/orbmappoint.cpp:314-384): among a point's observation
+    descriptors, keep the one whose median distance to the others is
+    smallest.  Array form: gather up to OBS_DESC_CAP observation descriptors
+    per point by sorting the flat binding list, then one batched pairwise
+    Hamming + median + argmin over [P, CAP, CAP].
+    """
+    K, F, P = m.kf_capacity, m.feat_capacity, m.pt_capacity
+    bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
+    flat_pt = jnp.where(bound, m.kf_obs_point, P).reshape(-1)   # [K*F]
+    flat_desc = m.kf_desc.reshape(-1, 8)
+
+    order = jnp.argsort(flat_pt)
+    sorted_pt = flat_pt[order]
+    sorted_desc = flat_desc[order]
+    # rank within each point's run
+    seg_start = jnp.searchsorted(sorted_pt, sorted_pt, side="left")
+    rank = jnp.arange(sorted_pt.shape[0]) - seg_start
+    ok = (sorted_pt < P) & (rank < OBS_DESC_CAP)
+    tgt_p = jnp.where(ok, sorted_pt, P - 1)
+    tgt_r = jnp.where(ok, rank, OBS_DESC_CAP - 1)
+
+    table = jnp.zeros((P, OBS_DESC_CAP, 8), jnp.uint32).at[tgt_p, tgt_r].set(
+        jnp.where(ok[:, None], sorted_desc, 0)
+    )
+    slot_valid = jnp.zeros((P, OBS_DESC_CAP), bool).at[tgt_p, tgt_r].set(ok)
+    slot_valid = slot_valid.at[P - 1].set(False)
+
+    x = jax.lax.population_count(table[:, :, None, :] ^ table[:, None, :, :])
+    dist = jnp.sum(x, axis=-1).astype(jnp.int32)               # [P, C, C]
+    big = 257
+    dist = jnp.where(
+        slot_valid[:, :, None] & slot_valid[:, None, :], dist, big
+    )
+    # median over valid columns per row (invalid entries sorted to the end)
+    n_valid = jnp.sum(slot_valid, axis=1)                      # [P]
+    dist_sorted = jnp.sort(dist, axis=2)
+    med_pos = jnp.clip((n_valid - 1) // 2, 0, OBS_DESC_CAP - 1)  # [P]
+    median = jnp.take_along_axis(
+        dist_sorted,
+        jnp.broadcast_to(med_pos[:, None, None], (P, OBS_DESC_CAP, 1)),
+        axis=2,
+    )[:, :, 0]                                                 # [P, C]
+    median = jnp.where(slot_valid, median, big)
+    best = jnp.argmin(median, axis=1)                          # [P]
+    new_desc = table[jnp.arange(P), best]                      # [P, 8]
+    has_obs = n_valid > 0
+    return m._replace(
+        pt_desc=jnp.where(has_obs[:, None], new_desc, m.pt_desc)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Culling
 # ---------------------------------------------------------------------------

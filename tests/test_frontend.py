@@ -155,3 +155,32 @@ def test_stereo_depth_accuracy(world_frame):
     errs = np.asarray(errs)
     assert len(errs) > 40
     assert np.median(errs) < 0.05  # <5% median relative depth error
+
+
+def test_undistort_points_inverts_distortion():
+    from opendlv_perception_vision_orbslam2_tpu.ops import undistort as ud
+
+    rng = np.random.default_rng(3)
+    fx = fy = 400.0
+    cx, cy = 320.0, 200.0
+    k = dict(k1=-0.28, k2=0.07, p1=1e-3, p2=-5e-4, k3=0.0)
+    xy_n = rng.uniform(-0.5, 0.5, (200, 2)).astype(np.float32)
+    xy_d = np.asarray(ud.distort_normalized(jnp.asarray(xy_n), **k))
+    uv_d = xy_d * [fx, fy] + [cx, cy]
+    uv_u = np.asarray(ud.undistort_points(
+        jnp.asarray(uv_d.astype(np.float32)), fx, fy, cx, cy,
+        k["k1"], k["k2"], k["p1"], k["p2"], k["k3"],
+    ))
+    uv_true = xy_n * [fx, fy] + [cx, cy]
+    np.testing.assert_allclose(uv_u, uv_true, atol=0.05)
+
+
+def test_remap_identity_grid():
+    from opendlv_perception_vision_orbslam2_tpu.ops import undistort as ud
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(0, 255, (32, 48)).astype(np.float32))
+    ys, xs = np.mgrid[0:32, 0:48]
+    grid = jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
+    out = ud.remap_bilinear(img, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)

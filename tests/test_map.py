@@ -188,3 +188,40 @@ def test_cull_points_removes_low_ratio():
         & ~m2.pt_valid[jnp.clip(m2.kf_obs_point[0], 0, m2.pt_capacity - 1)]
     )
     assert int(killed_bound) == 0
+
+
+def test_distinctive_descriptor_is_min_median():
+    """3 KFs observe the same point with different descriptors; the chosen
+    descriptor must minimize the median Hamming distance to the others."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**32, (1, 8), dtype=np.uint32)
+
+    def flip(d, nbits, seed):
+        r = np.random.default_rng(seed)
+        bits = np.unpackbits(d.view(np.uint8).reshape(1, 32), axis=1,
+                             bitorder="little")
+        for i in r.choice(256, nbits, replace=False):
+            bits[0, i] ^= 1
+        return np.packbits(bits, axis=1, bitorder="little").view(np.uint32)
+
+    d0 = base                    # central descriptor
+    d1 = flip(base, 10, 1)       # close to d0
+    d2 = flip(base, 120, 2)      # far outlier
+    descs_per_kf = [d0, d1, d2]
+
+    pts, _ = _world()
+    m = ms.empty_map(16, 1024, F)
+    binds = -jnp.ones((F,), jnp.int32)
+    for i, z in enumerate([0.0, 0.3, 0.6]):
+        descs = np.tile(descs_per_kf[i], (N_PTS, 1))
+        f = _synth_frame(_pose(z), pts, descs)
+        m, slot = ms.insert_keyframe(m, f, binds, 20.0)
+        binds = m.kf_obs_point[slot]
+    m = ms.refresh_distinctive_descriptors(m)
+    # every point observed 3x: distinctive descriptor must be d0 or d1 (the
+    # cluster), never the outlier d2
+    alive = np.asarray(m.pt_valid)
+    got = np.asarray(m.pt_desc)[alive]
+    assert not np.any(np.all(got == np.asarray(d2), axis=1))
+    match_cluster = np.all(got == d0, axis=1) | np.all(got == d1, axis=1)
+    assert match_cluster.all()
