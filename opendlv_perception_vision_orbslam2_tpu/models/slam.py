@@ -391,6 +391,62 @@ class StereoSlam:
                 self.T_cw = self.map.kf_T_cw[slot]
                 self.velocity = jnp.eye(4, dtype=jnp.float32)
 
+    def _track_reference_keyframe(self, cur: FrameState):
+        """BoW-match the frame against its reference keyframe and
+        pose-optimize from the last pose (TrackReferenceKeyFrame, reference:
+        src/tracking.cpp:587-629) — the fallback rung between motion-model
+        tracking and full relocalization."""
+        if self.vocab is None or self.kf_nodes is None:
+            return False
+        from . import vocabulary as voc
+        from ..ops.matching import search_by_bow
+
+        # reference KF = the keyframe sharing most points with the last frame
+        P = self.map.pt_capacity
+        binds = self.last_bindings
+        cur_bound = jnp.zeros((P,), bool).at[
+            jnp.where(binds >= 0, binds, P - 1)
+        ].set(binds >= 0).at[P - 1].set(False)
+        sees = jnp.where(
+            self.map.kf_feat_valid & (self.map.kf_obs_point >= 0),
+            jnp.take(cur_bound, jnp.clip(self.map.kf_obs_point, 0, P - 1)),
+            False,
+        ) & self.map.kf_valid[:, None]
+        ref_slot = int(jnp.argmax(jnp.sum(sees, axis=1)))
+
+        feats = cur.features
+        words, nodes = voc.transform(self.vocab, feats.desc, feats.valid)
+        idx_kf, ok = search_by_bow(
+            feats.desc, nodes, feats.valid, feats.angle,
+            self.map.kf_desc[ref_slot], self.kf_nodes[ref_slot],
+            self.map.kf_feat_valid[ref_slot], self.map.kf_angle[ref_slot],
+            max_dist=50, nn_ratio=0.7,
+        )
+        bind = self.map.kf_obs_point[ref_slot][idx_kf]
+        pair_ok = ok & (bind >= 0) & self.map.pt_valid[jnp.clip(bind, 0, P - 1)]
+        if int(jnp.sum(pair_ok)) < 15:  # reference: >=15 matches (:607)
+            return False
+
+        from ..optim.pose_opt import PoseObs, pose_optimize
+        from .frame import features_scale_sigma2
+
+        cam = self.config.camera
+        sigma2 = features_scale_sigma2(feats, self.config.orb.scale_factor)
+        obs = PoseObs(
+            p_w=self.map.pt_pos[jnp.clip(bind, 0, P - 1)],
+            uv=feats.xy, u_right=feats.u_right, sigma2=sigma2, valid=pair_ok,
+        )
+        T_est, inliers, n_inl = pose_optimize(
+            self.T_cw, obs, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            bf=cam.bf,
+        )
+        if int(n_inl) < 10:  # reference: >=10 map inliers (:625)
+            return False
+        self.T_cw = T_est
+        self.last_bindings = jnp.where(pair_ok & inliers, bind, -1)
+        self.lost = False
+        return True
+
     def _try_relocalize(self, cur: FrameState):
         if not self.enable_relocalization or self.db is None:
             return False
@@ -463,9 +519,13 @@ class StereoSlam:
         T_new = out.T_cw
         n_inl = int(out.n_inliers)
         self.lost = n_inl < MIN_INLIERS_MAP
-        if self.lost and self._try_relocalize(cur):
-            T_new = self.T_cw
-            out = out._replace(bindings=self.last_bindings)
+        if self.lost:
+            # fallback ladder (UpdatePoses dispatch, reference:
+            # src/tracking.cpp:1538-1640): reference-KF BoW tracking, then
+            # full relocalization
+            if self._track_reference_keyframe(cur) or self._try_relocalize(cur):
+                T_new = self.T_cw
+                out = out._replace(bindings=self.last_bindings)
         self.velocity = T_new @ lie.inv_T(self.T_cw)
         self.T_cw = T_new
         cur = cur._replace(T_cw=T_new)

@@ -114,7 +114,7 @@ def test_hamming_kernels_agree():
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(0, 2**32, (64, 8), dtype=np.uint32))
     b = jnp.asarray(rng.integers(0, 2**32, (96, 8), dtype=np.uint32))
-    d1 = ham.hamming_matrix(a, b)
+    d1 = ham.hamming_matrix_xor(a, b)
     d2 = ham.hamming_matrix_mxu(a, b)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
