@@ -488,11 +488,36 @@ class StereoSlam:
         # re-read bindings after culling/BA (points may have died)
         return self.map.kf_obs_point[slot]
 
+    def reset(self):
+        """Full system reset (Selflocalization::Reset -> Tracking::Reset,
+        reference: src/selflocalization.cpp:577-580, src/tracking.cpp:1340-1385):
+        clear map, database and tracker state; the trajectory log survives."""
+        cfg = self.config
+        self.map = empty_map(
+            cfg.max_keyframes, cfg.max_map_points, cfg.orb.max_keypoints
+        )
+        self.T_cw = jnp.eye(4, dtype=jnp.float32)
+        self.velocity = jnp.eye(4, dtype=jnp.float32)
+        self.last_frame = None
+        self.last_bindings = None
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = 0
+        self.lost = False
+        self.n_keyframes = 0
+        self.db = None
+        self.kf_nodes = None
+        self.loop_closer = None
+
     def process(self, img_left, img_right, timestamp: float = 0.0):
         cfg = self.config
         img_left = jnp.asarray(img_left, jnp.float32)
         img_right = jnp.asarray(img_right, jnp.float32)
         cur = process_stereo(img_left, img_right, cfg, timestamp)
+
+        # auto-reset if lost right after bootstrap (reference:
+        # src/tracking.cpp:305-313: lost with <=5 keyframes => full reset)
+        if self.lost and self.last_frame is not None and self.n_keyframes <= 5:
+            self.reset()
 
         if self.last_frame is None:
             # stereo initialization (reference: src/tracking.cpp:342-395)
