@@ -18,7 +18,36 @@ import time
 import numpy as np
 
 
+def _probe_device(timeout_s: float = 90.0) -> bool:
+    """True if the default JAX backend executes a trivial program in time.
+    The tunneled TPU backend can wedge hard (observed: init hangs forever),
+    and a hung in-process init would poison this process too — probe in a
+    subprocess so the bench can still fall back to CPU and report."""
+    import subprocess
+
+    code = (
+        "import numpy, jax, jax.numpy as jnp;"
+        "numpy.asarray(jnp.ones((8,8)).sum());print('ok')"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return "ok" in res.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    cpu_fallback = False
+    if not _probe_device():
+        import os
+
+        print("device probe failed; falling back to CPU", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        cpu_fallback = True
+
     import jax
     import jax.numpy as jnp
 
@@ -85,8 +114,11 @@ def main():
         print("WARNING: tracking lost during bench", file=sys.stderr)
 
     baseline_fps = 15.0  # reference real-time operating point (see docstring)
+    metric = "tracked_frames_per_s_per_chip_kitti_sized_stereo"
+    if cpu_fallback:
+        metric += "_CPU_FALLBACK_tpu_backend_unreachable"
     print(json.dumps({
-        "metric": "tracked_frames_per_s_per_chip_kitti_sized_stereo",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),

@@ -363,6 +363,32 @@ def refresh_distinctive_descriptors(m: MapState) -> MapState:
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def evict_oldest_if_full(m: MapState) -> MapState:
+    """Slot-recycling backstop for the fixed keyframe capacity (no reference
+    analogue — its heap map grows unboundedly, SURVEY.md section 7 hard-part
+    2): when every slot is valid, retire the second-oldest keyframe (the
+    absolute oldest stays as the gauge anchor), unbinding its observations.
+    Normal operation rarely reaches this; KeyFrameCulling usually frees
+    slots first."""
+    full = jnp.all(m.kf_valid)
+    ids = jnp.where(m.kf_valid, m.kf_id, jnp.iinfo(jnp.int32).max)
+    oldest = jnp.argmin(ids)
+    ids2 = ids.at[oldest].set(jnp.iinfo(jnp.int32).max)
+    victim = jnp.argmin(ids2)
+    kf_valid = m.kf_valid.at[victim].set(
+        jnp.where(full, False, m.kf_valid[victim])
+    )
+    cleared = jnp.where(
+        full, -jnp.ones((m.feat_capacity,), jnp.int32), m.kf_obs_point[victim]
+    )
+    m = m._replace(
+        kf_valid=kf_valid,
+        kf_obs_point=m.kf_obs_point.at[victim].set(cleared),
+    )
+    return m._replace(covis=recompute_covisibility(m))
+
+
 @functools.partial(jax.jit, static_argnames=("th_obs",))
 def cull_points(m: MapState, current_kf_id, th_obs: int = 3) -> MapState:
     """MapPointCulling (reference: src/mapping.cpp:527-562): recently created

@@ -470,6 +470,9 @@ class StereoSlam:
         return self.config.tracking.th_depth * self.config.camera.baseline_m
 
     def _insert_keyframe(self, frame: FrameState, bindings):
+        from .map_state import evict_oldest_if_full
+
+        self.map = evict_oldest_if_full(self.map)
         self.map, slot = insert_keyframe(
             self.map, frame, bindings, self._th_far
         )

@@ -225,3 +225,22 @@ def test_distinctive_descriptor_is_min_median():
     assert not np.any(np.all(got == np.asarray(d2), axis=1))
     match_cluster = np.all(got == d0, axis=1) | np.all(got == d1, axis=1)
     assert match_cluster.all()
+
+
+def test_evict_oldest_if_full():
+    pts, descs = _world()
+    m = ms.empty_map(4, 1024, F)  # tiny keyframe capacity
+    binds = -jnp.ones((F,), jnp.int32)
+    for i in range(4):
+        f = _synth_frame(_pose(0.2 * i), pts, descs, seed=i)
+        m, slot = ms.insert_keyframe(m, f, binds, 20.0)
+        binds = m.kf_obs_point[slot]
+    assert bool(jnp.all(m.kf_valid))
+    m2 = ms.evict_oldest_if_full(m)
+    assert int(jnp.sum(m2.kf_valid)) == 3
+    # the absolute oldest (id 0) survives as gauge anchor; id 1 is evicted
+    alive_ids = sorted(int(i) for i in np.asarray(m2.kf_id)[np.asarray(m2.kf_valid)])
+    assert alive_ids == [0, 2, 3]
+    # not full anymore => no-op
+    m3 = ms.evict_oldest_if_full(m2)
+    assert int(jnp.sum(m3.kf_valid)) == 3
