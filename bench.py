@@ -40,13 +40,22 @@ def _probe_device(timeout_s: float = 90.0) -> bool:
 
 
 def main():
-    cpu_fallback = False
-    if not _probe_device():
-        import os
+    import os
 
-        print("device probe failed; falling back to CPU", file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        cpu_fallback = True
+    cpu_fallback = os.environ.get("ORBSLAM2_TPU_BENCH_CPU") == "1"
+    if not cpu_fallback and not _probe_device():
+        # The TPU plugin can wedge so hard that even `import jax` blocks
+        # (observed with the tunneled backend).  Re-exec with the plugin's
+        # site dir stripped from PYTHONPATH and CPU forced.
+        print("device probe failed; re-exec on CPU", file=sys.stderr)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ":".join(
+            p for p in env.get("PYTHONPATH", "").split(":")
+            if p and "axon" not in p
+        )
+        env["JAX_PLATFORMS"] = "cpu"
+        env["ORBSLAM2_TPU_BENCH_CPU"] = "1"
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
     import jax
     import jax.numpy as jnp

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ops import lie, matching
 from ..ops.hamming import MAX_DIST, TH_HIGH, hamming_matrix
-from ..optim.pose_opt import PoseObs, pose_optimize
+from ..optim.pose_opt import PoseObs, pose_optimize, robust_pose_estimate
 from ..utils.config import SystemConfig
 from .frame import FrameState, features_scale_sigma2
 from .frontend import process_stereo
@@ -78,7 +78,7 @@ def _motion_model_match(m: MapState, last_frame: FrameState, last_bindings,
     dist = hamming_matrix(feats_last.desc, cur_frame.features.desc)
     z_motion = velocity[2, 3]
 
-    def match_at(mult):
+    def match_at(mult, nn_ratio=0.0):
         mm = matching.search_by_projection(
             p_w, usable, feats_last.desc, feats_last.octave, feats_last.angle,
             cur_frame.features, T_pred,
@@ -86,16 +86,59 @@ def _motion_model_match(m: MapState, last_frame: FrameState, last_bindings,
             width=cam.width, height=cam.height,
             radius_th=7.0 * mult, scale_factor=config.orb.scale_factor,
             z_motion=z_motion, baseline=cam.baseline_m, dist=dist,
+            nn_ratio=nn_ratio,
         )
         mm = matching.resolve_duplicate_targets(mm, cur_frame.features.capacity)
         return mm, jnp.sum(mm.valid)
 
+
+    def brute_match():
+        """Gate-free appearance matching: the bootstrap rung.  Equivalent
+        role to TrackReferenceKeyFrame's BoW matching (reference:
+        src/tracking.cpp:587-629): when the motion prediction is stale no
+        spatial gate is trustworthy, so match on descriptors alone with a
+        ratio test + mutual cross-check + rotation consistency."""
+        from ..ops.hamming import MAX_DIST as _MD
+        big = _MD + 1
+        gate = usable[:, None] & cur_frame.features.valid[None, :]
+        d = jnp.where(gate, dist, big)
+        best = jnp.argmin(d, axis=1)
+        best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+        d2 = d.at[jnp.arange(d.shape[0]), best].set(big)
+        second = jnp.min(d2, axis=1)
+        ok = (best_d <= 100) & (
+            best_d.astype(jnp.float32) <= 0.8 * second.astype(jnp.float32)
+        )
+        # mutual cross-check
+        back = jnp.argmin(jnp.where(gate, dist, big), axis=0)
+        ok = ok & (jnp.take(back, best) == jnp.arange(d.shape[0]))
+        from ..ops.hamming import rotation_consistency_mask
+        ok = rotation_consistency_mask(
+            feats_last.angle, cur_frame.features.angle, best, ok
+        )
+        mb = matching.ProjectionMatches(dst_idx=best, dist=best_d, valid=ok)
+        mb = matching.resolve_duplicate_targets(mb, cur_frame.features.capacity)
+        return mb, jnp.sum(mb.valid)
+
     m1, n1 = match_at(1)
     m2, n2 = match_at(2)
-    m8, n8 = match_at(8)
+    m8, n8 = brute_match()
     pick = lambda c, a, b: jnp.where(c, a, b)
-    cond1 = n1 >= MIN_MATCHES_MOTION
-    cond2 = n2 >= MIN_MATCHES_MOTION
+    # rung rule: close-point coverage (see models/tracking.py) — a stale
+    # prediction must not settle on a far-points-only tight gate
+    close_src = (feats_last.depth > 0) & (feats_last.depth < th_far)
+    c1 = jnp.sum(m1.valid & close_src)
+    c2 = jnp.sum(m2.valid & close_src)
+    c8 = jnp.sum(m8.valid & close_src)
+    # monocular frames carry no depth: fall back to plain count coverage
+    has_close = jnp.sum(close_src) > 0
+    th_close = jnp.maximum(10, (c8 + 1) // 2)
+    cond1 = (n1 >= MIN_MATCHES_MOTION) & jnp.where(
+        has_close, c1 >= th_close, 2 * n1 >= n8
+    )
+    cond2 = (n2 >= MIN_MATCHES_MOTION) & jnp.where(
+        has_close, c2 >= th_close, 2 * n2 >= n8
+    )
     mm = matching.ProjectionMatches(
         dst_idx=pick(cond1, m1.dst_idx, pick(cond2, m2.dst_idx, m8.dst_idx)),
         dist=pick(cond1, m1.dist, pick(cond2, m2.dist, m8.dist)),
@@ -248,8 +291,9 @@ def track_frame_with_map(m: MapState, last_frame: FrameState, last_bindings,
         sigma2=jnp.take(sigma2, dst, axis=0),
         valid=mm.valid,
     )
-    T1, _, _ = pose_optimize(
-        T_pred, obs1, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf
+    T1, _, _ = robust_pose_estimate(
+        T_pred, obs1, jax.random.PRNGKey(0),
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
     )
 
     # inherit map bindings through the match (cur feature <- last feature)
@@ -427,7 +471,7 @@ class StereoSlam:
         if int(jnp.sum(pair_ok)) < 15:  # reference: >=15 matches (:607)
             return False
 
-        from ..optim.pose_opt import PoseObs, pose_optimize
+        from ..optim.pose_opt import PoseObs, pose_optimize, robust_pose_estimate
         from .frame import features_scale_sigma2
 
         cam = self.config.camera

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..ops import lie
 from ..ops import matching
-from ..optim.pose_opt import PoseObs, pose_optimize
+from ..optim.pose_opt import PoseObs, pose_optimize, robust_pose_estimate
 from ..utils.config import SystemConfig
 from .frame import FrameState, features_scale_sigma2
 from .frontend import process_stereo
@@ -96,7 +96,7 @@ def motion_model_step(state: TrackState, cur_frame: FrameState,
 
     dist = hamming_matrix(feats_last.desc, cur_frame.features.desc)
 
-    def match_at(mult):
+    def match_at(mult, nn_ratio=0.0):
         m = matching.search_by_projection(
             p_w, usable, feats_last.desc, feats_last.octave, feats_last.angle,
             cur_frame.features, T_pred,
@@ -105,14 +105,43 @@ def motion_model_step(state: TrackState, cur_frame: FrameState,
             radius_th=7.0 * mult * radius_mult,
             scale_factor=config.orb.scale_factor,
             z_motion=z_motion, baseline=cam.baseline_m,
-            dist=dist,
+            dist=dist, nn_ratio=nn_ratio,
         )
         m = matching.resolve_duplicate_targets(m, cur_frame.features.capacity)
         return m, jnp.sum(m.valid)
 
+
+    def brute_match():
+        """Gate-free appearance matching: the bootstrap rung.  Equivalent
+        role to TrackReferenceKeyFrame's BoW matching (reference:
+        src/tracking.cpp:587-629): when the motion prediction is stale no
+        spatial gate is trustworthy, so match on descriptors alone with a
+        ratio test + mutual cross-check + rotation consistency."""
+        from ..ops.hamming import MAX_DIST as _MD
+        big = _MD + 1
+        gate = usable[:, None] & cur_frame.features.valid[None, :]
+        d = jnp.where(gate, dist, big)
+        best = jnp.argmin(d, axis=1)
+        best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+        d2 = d.at[jnp.arange(d.shape[0]), best].set(big)
+        second = jnp.min(d2, axis=1)
+        ok = (best_d <= 100) & (
+            best_d.astype(jnp.float32) <= 0.8 * second.astype(jnp.float32)
+        )
+        # mutual cross-check
+        back = jnp.argmin(jnp.where(gate, dist, big), axis=0)
+        ok = ok & (jnp.take(back, best) == jnp.arange(d.shape[0]))
+        from ..ops.hamming import rotation_consistency_mask
+        ok = rotation_consistency_mask(
+            feats_last.angle, cur_frame.features.angle, best, ok
+        )
+        mb = matching.ProjectionMatches(dst_idx=best, dist=best_d, valid=ok)
+        mb = matching.resolve_duplicate_targets(mb, cur_frame.features.capacity)
+        return mb, jnp.sum(mb.valid)
+
     m1, n1 = match_at(1)
     m2, n2 = match_at(2)
-    m8, n8 = match_at(8)
+    m8, n8 = brute_match()
 
     def select(cond, a: matching.ProjectionMatches, b: matching.ProjectionMatches):
         pick = lambda x, y: jnp.where(cond, x, y)
@@ -122,8 +151,26 @@ def motion_model_step(state: TrackState, cur_frame: FrameState,
             valid=pick(a.valid, b.valid),
         )
 
-    m = select(n1 >= MIN_MATCHES_MOTION, m1,
-               select(n2 >= MIN_MATCHES_MOTION, m2, m8))
+    # Rung rule: smallest radius with enough matches AND enough CLOSE-point
+    # coverage.  A bare match-count rule settles on a tight gate that (under
+    # a stale motion prediction) only captures low-flow FAR points — pure
+    # rotation information, translation collapses.  Close points (src depth
+    # < thDepth*baseline) are where translation accuracy lives, so each rung
+    # must retain at least half the widest gate's close matches.
+    close_src = (feats_last.depth > 0) & (feats_last.depth < th_far)
+    c1 = jnp.sum(m1.valid & close_src)
+    c2 = jnp.sum(m2.valid & close_src)
+    c8 = jnp.sum(m8.valid & close_src)
+    # monocular frames carry no depth: fall back to plain count coverage
+    has_close = jnp.sum(close_src) > 0
+    th_close = jnp.maximum(10, (c8 + 1) // 2)
+    good1 = (n1 >= MIN_MATCHES_MOTION) & jnp.where(
+        has_close, c1 >= th_close, 2 * n1 >= n8
+    )
+    good2 = (n2 >= MIN_MATCHES_MOTION) & jnp.where(
+        has_close, c2 >= th_close, 2 * n2 >= n8
+    )
+    m = select(good1, m1, select(good2, m2, m8))
     n_matches = jnp.sum(m.valid)
 
     dst = m.dst_idx
@@ -135,8 +182,9 @@ def motion_model_step(state: TrackState, cur_frame: FrameState,
         sigma2=jnp.take(sigma2, dst, axis=0),
         valid=m.valid,
     )
-    T_new, inliers, n_inliers = pose_optimize(
-        T_pred, obs, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf
+    T_new, inliers, n_inliers = robust_pose_estimate(
+        T_pred, obs, jax.random.PRNGKey(0),
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
     )
     return T_new, n_inliers, n_matches
 

@@ -84,12 +84,20 @@ def mutual_check(best_ab, best_ba):
     return back == jnp.arange(n)
 
 
-def rotation_consistency_mask(angle_a, angle_b, matched, valid, histo_len: int = 30):
-    """Keep only matches whose angle difference falls in the 3 dominant
-    orientation-histogram bins.
+def rotation_consistency_mask(angle_a, angle_b, matched, valid,
+                              histo_len: int = 30, window_bins: int = 2):
+    """Keep only matches whose angle difference agrees with the dominant
+    global rotation.
 
     Array form of ComputeThreeMaxima + the rot-hist filter used by every
     matcher (reference: src/orbmatcher.cpp:1618-1660 and e.g. :498-529).
+    The reference keeps the 3 highest of 30 bins — in practice 3 adjacent
+    bins around the true inter-frame roll.  Here the same acceptance region
+    is expressed as a circular window of ``+-window_bins`` around the peak
+    bin, which is equivalent when the distribution is tight and strictly
+    more robust when per-feature orientation noise straddles bin boundaries
+    (exact-bin membership would split a centred cluster across 4-5 bins and
+    reject valid matches).
     ``angle_a [N]`` radians, ``angle_b [M]``, ``matched [N]`` index into b,
     ``valid [N]`` bool.  Returns bool ``[N]``.
     """
@@ -101,12 +109,7 @@ def rotation_consistency_mask(angle_a, angle_b, matched, valid, histo_len: int =
     counts = jnp.zeros((histo_len,), jnp.int32).at[bin_idx].add(
         valid.astype(jnp.int32)
     )
-    # top-3 bins (reference keeps bins 1..3 only if within 10% of max)
-    top3 = jax.lax.top_k(counts, 3)
-    kth = top3[0]
-    keep_bin = jnp.zeros((histo_len,), bool)
-    max1 = kth[0]
-    for i in range(3):
-        ok = kth[i].astype(jnp.float32) > 0.1 * max1.astype(jnp.float32)
-        keep_bin = keep_bin.at[top3[1][i]].set(ok)
-    return valid & jnp.take(keep_bin, bin_idx, axis=0)
+    peak = jnp.argmax(counts)
+    d = jnp.abs(bin_idx - peak)
+    circ = jnp.minimum(d, histo_len - d)
+    return valid & (circ <= window_bins)

@@ -59,6 +59,10 @@ def search_by_projection(
     z_motion: jnp.ndarray | None = None,  # scalar tz of T_last->T_cur
     baseline: float = 0.0,
     dist=None,                 # optional precomputed Hamming matrix [S, K]
+    nn_ratio: float = 0.0,     # >0: best/second ratio test.  The reference's
+                               # tight-gate variant has none (the 7px window
+                               # is the precision mechanism); wide bootstrap
+                               # gates need it to keep match precision high.
 ):
     """Returns :class:`ProjectionMatches` over source slots.
 
@@ -122,6 +126,14 @@ def search_by_projection(
     best = jnp.argmin(d, axis=1)
     best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
     ok = best_d <= max_dist
+
+    if nn_ratio > 0.0:
+        d2 = d.at[jnp.arange(d.shape[0]), best].set(big)
+        second = jnp.min(d2, axis=1)
+        ok = ok & (
+            best_d.astype(jnp.float32)
+            <= nn_ratio * second.astype(jnp.float32)
+        )
 
     if check_rotation:
         ok = rotation_consistency_mask(

@@ -140,3 +140,51 @@ def pose_optimize(T_cw_init, obs: PoseObs, *, fx: float, fy: float,
 
     n_inliers = jnp.sum(inliers)
     return T, inliers, n_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "bf"))
+def robust_pose_estimate(T_pred, obs: PoseObs, key, *, fx: float, fy: float,
+                         cx: float, cy: float, bf: float):
+    """Pose optimization with a RANSAC rescue branch.
+
+    Gauss-Newton from the motion-model prediction handles the common case;
+    when the prediction is stale (bootstrap, post-reset) wide-gate matches
+    carry enough outliers to trap GN in the wrong basin.  An EPnP-RANSAC
+    seed (the reference's relocalization machinery, src/pnpsolver.cpp)
+    is therefore always computed — it is cheap next to the matchers — and a
+    second GN runs from it; the result with more inliers wins, branch-free.
+    """
+    from .pnp import pnp_ransac
+
+    def classify(T):
+        r, _, is_stereo, behind = _residuals_jacobian(T, obs, fx, fy, cx, cy, bf)
+        chi2 = _chi2(r, obs.sigma2, is_stereo)
+        th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        return obs.valid & (chi2 <= th) & (~behind)
+
+    T_a, _, _ = pose_optimize(
+        T_pred, obs, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf
+    )
+    res = pnp_ransac(
+        obs.p_w, obs.uv, obs.sigma2, obs.valid, key,
+        fx=fx, fy=fy, cx=cx, cy=cy,
+    )
+    T_pnp = lie.make_T(res.R, res.t)
+    # Refine on the RANSAC consensus set only (PnPsolver::Refine semantics,
+    # reference: src/pnpsolver.cpp:234-281).  Optimizing over ALL matches
+    # from the seed lets Huber-weighted gross outliers drag the pose out of
+    # the consensus basin: near the optimum the inlier gradients vanish
+    # while each outlier still pulls with constant delta-magnitude.
+    obs_b = obs._replace(valid=obs.valid & res.inliers)
+    T_b, _, _ = pose_optimize(
+        T_pnp, obs_b, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf
+    )
+    # fair comparison: chi2 inliers over the FULL observation set
+    inl_a = classify(T_a)
+    inl_b = classify(T_b)
+    n_a = jnp.sum(inl_a)
+    n_b = jnp.sum(inl_b)
+    use_b = n_b > n_a
+    T = jnp.where(use_b, T_b, T_a)
+    inliers = jnp.where(use_b, inl_b, inl_a)
+    return T, inliers, jnp.maximum(n_a, n_b)
