@@ -59,6 +59,53 @@ def process_stereo(img_left, img_right, config: SystemConfig, timestamp=0.0):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def process_rgbd(img, depth_map, config: SystemConfig, timestamp=0.0):
+    """Grayscale image + registered depth map -> :class:`FrameState`.
+
+    RGB-D frame construction (GrabImageRGBD, reference:
+    src/tracking.cpp:202-230, + ComputeStereoFromRGBD, reference:
+    src/orbframe.cpp:707-728): depth is read from the registered map at each
+    keypoint's pixel and a virtual right-image coordinate
+    ``u_right = u - bf/d`` is synthesized, after which the frame is
+    indistinguishable from a stereo frame for the rest of the system.
+    """
+    cam = config.camera
+    orb = config.orb
+
+    levels = image_ops.build_pyramid(img, orb.n_levels, orb.scale_factor)
+    feats = extract_from_pyramid(levels, orb)
+
+    # DepthMapFactor convention (reference: src/tracking.cpp:136-149):
+    # metric depth = raw / DepthMapFactor (factor ~0 means already metric).
+    f = float(config.tracking.depth_map_factor)
+    scale = 1.0 if abs(f) < 1e-5 else 1.0 / f
+    dm = jnp.asarray(depth_map, jnp.float32) * jnp.float32(scale)
+
+    h, w = dm.shape
+    u = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, w - 1)
+    v = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, h - 1)
+    d = dm[v, u]
+    ok = (d > 0) & feats.valid
+    depth = jnp.where(ok, d, -1.0)
+    u_right = jnp.where(
+        ok, feats.xy[:, 0] - cam.bf / jnp.maximum(d, 1e-6), -1.0
+    )
+    feats = feats._replace(u_right=u_right, depth=depth)
+
+    point_cam = lie.backproject(
+        feats.xy, jnp.maximum(depth, 1e-6), cam.fx, cam.fy, cam.cx, cam.cy
+    )
+    point_cam = jnp.where(depth[:, None] > 0, point_cam, 0.0)
+
+    return FrameState(
+        features=feats,
+        T_cw=jnp.eye(4, dtype=jnp.float32),
+        point_cam=point_cam,
+        timestamp=jnp.asarray(timestamp, jnp.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def process_mono(img, config: SystemConfig, timestamp=0.0):
     """Monocular front-end: extraction only (GrabImageMonocular path,

@@ -32,6 +32,9 @@ class Selflocalization:
         self.od4 = od4 or NullSession()
         if tracking_only:
             self.slam = StereoVisualOdometry(config)
+        elif config.camera_type == "mono":
+            from .mono_slam import MonocularSlam
+            self.slam = MonocularSlam(config, vocab=vocab)
         else:
             self.slam = StereoSlam(config, vocab=vocab)
         self.frame_count = 0
@@ -42,9 +45,18 @@ class Selflocalization:
     # Frame ingestion (Track, reference: src/selflocalization.cpp:533-558)
     # ------------------------------------------------------------------
 
-    def track(self, img_left, img_right, timestamp: float = 0.0):
+    def track(self, img_left, img_right=None, timestamp: float = 0.0):
+        """Mode-dispatched frame ingestion (Track, reference:
+        src/selflocalization.cpp:533-558): stereo takes (L, R), RGB-D takes
+        (gray, depth-map), monocular takes a single image."""
         t0 = time.time()
-        T = self.slam.process(img_left, img_right, timestamp)
+        mode = self.config.camera_type
+        if mode == "rgbd":
+            T = self.slam.process_rgbd(img_left, img_right, timestamp)
+        elif mode == "mono":
+            T = self.slam.process(img_left, timestamp)
+        else:
+            T = self.slam.process(img_left, img_right, timestamp)
         self.latencies.append(time.time() - t0)
         self.map_sizes.append(self._map_size())
         self.frame_count += 1
@@ -126,4 +138,6 @@ class Selflocalization:
             self.write_pose_file(directory)
             self.write_map_file(directory)
             self.write_fps_file(directory)
-        self.od4.close()
+        close = getattr(self.od4, "close", None)
+        if close is not None:
+            close()

@@ -560,7 +560,26 @@ class StereoSlam:
         img_left = jnp.asarray(img_left, jnp.float32)
         img_right = jnp.asarray(img_right, jnp.float32)
         cur = process_stereo(img_left, img_right, cfg, timestamp)
+        return self._step(cur)
 
+    def process_rgbd(self, img, depth_map, timestamp: float = 0.0):
+        """RGB-D ingestion (GrabImageRGBD, reference: src/tracking.cpp:202-230).
+
+        After frame construction the RGB-D frame carries the same
+        u_right/depth fields as a stereo frame, so tracking, mapping and
+        loop closing are shared verbatim (reference treats the two sensors
+        identically past OrbFrame construction).
+        """
+        from .frontend import process_rgbd as _process_rgbd
+        cur = _process_rgbd(
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(depth_map, jnp.float32),
+            self.config, timestamp,
+        )
+        return self._step(cur)
+
+    def _step(self, cur: FrameState):
+        cfg = self.config
         # auto-reset if lost right after bootstrap (reference:
         # src/tracking.cpp:305-313: lost with <=5 keyframes => full reset)
         if self.lost and self.last_frame is not None and self.n_keyframes <= 5:

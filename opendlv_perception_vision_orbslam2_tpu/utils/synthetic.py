@@ -149,3 +149,52 @@ def render_stereo_sequence(config: SystemConfig, n_frames: int = 30,
 
     lefts, rights = jax.lax.map(render_pair, poses)
     return lefts, rights, poses, world
+
+
+def render_depth_map(T_cw, world: SyntheticWorld, height: int, width: int,
+                     fx: float, fy: float, cx: float, cy: float):
+    """Per-pixel depth map [H, W] float32 for the RGB-D fixture (0 = no
+    measurement, matching the d>0 validity rule of ComputeStereoFromRGBD,
+    reference: src/orbframe.cpp:707-728).
+
+    Each visible point stamps its camera-frame z over its sprite footprint
+    so every FAST corner the gray render produces has a depth sample.
+    """
+    pts_cam = lie.transform_points(T_cw[None], world.points[None])[0]
+    uv = lie.project(pts_cam, fx, fy, cx, cy)
+    z = pts_cam[:, 2]
+    visible = (z > 0.5) & (uv[:, 0] > SPRITE_R + 1) & (uv[:, 0] < width - SPRITE_R - 2) \
+        & (uv[:, 1] > SPRITE_R + 1) & (uv[:, 1] < height - SPRITE_R - 2)
+
+    u0 = jnp.round(uv[:, 0]).astype(jnp.int32)
+    v0 = jnp.round(uv[:, 1]).astype(jnp.int32)
+    dy, dx = np.mgrid[-SPRITE_R - 1 : SPRITE_R + 2, -SPRITE_R - 1 : SPRITE_R + 2]
+    ys = v0[:, None] + jnp.asarray(dy.reshape(-1))[None, :]
+    xs = u0[:, None] + jnp.asarray(dx.reshape(-1))[None, :]
+
+    # Sparse non-overlapping sprites: nearest-depth-wins via scatter-min.
+    big = jnp.float32(1e9)
+    stamp = jnp.where(visible[:, None], z[:, None], big)
+    stamp = jnp.broadcast_to(stamp, ys.shape)
+    depth = jnp.full((height, width), big, jnp.float32)
+    depth = depth.at[ys, xs].min(stamp, mode="drop")
+    return jnp.where(depth >= big, 0.0, depth)
+
+
+def render_rgbd_sequence(config: SystemConfig, n_frames: int = 30,
+                         n_points: int = 600, seed: int = 0,
+                         step: float = 0.35, yaw_rate: float = 0.0):
+    """Returns (imgs [N,H,W], depth_maps [N,H,W], T_cw_gt [N,4,4], world)."""
+    cam = config.camera
+    world = make_world(n_points, seed)
+    poses = straight_trajectory(n_frames, step, yaw_rate)
+
+    def render_one(T_cw):
+        gray = render_view(T_cw, world, cam.height, cam.width,
+                           cam.fx, cam.fy, cam.cx, cam.cy)
+        depth = render_depth_map(T_cw, world, cam.height, cam.width,
+                                 cam.fx, cam.fy, cam.cx, cam.cy)
+        return gray, depth
+
+    grays, depths = jax.lax.map(render_one, poses)
+    return grays, depths, poses, world
