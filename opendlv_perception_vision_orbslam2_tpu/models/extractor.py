@@ -138,9 +138,12 @@ def extract_from_pyramid(levels: Sequence, config: OrbConfig) -> Features:
         xy, response, valid = _select_level_keypoints(
             scores, strong, budget, config.cell_size
         )
-        angle = orb_ops.ic_angles(level_img, xy)
-        blurred = image_ops.gaussian_blur(level_img)
-        desc = orb_ops.brief_descriptors(blurred, xy, angle)
+        # One 45x45 patch per keypoint feeds orientation, the descriptor
+        # blur and the binned steered BRIEF as MXU matmuls (see ops/orb.py;
+        # replaces the element-gather pipelines measured at ~20 ms/eye).
+        patches = orb_ops.extract_patches(level_img, xy)
+        angle = orb_ops.ic_angles_from_patches(patches)
+        desc = orb_ops.brief_from_patches(patches, angle)
 
         scale = jnp.float32(config.scale_factor ** lvl)
         xs.append(xy * scale)

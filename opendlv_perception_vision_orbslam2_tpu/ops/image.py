@@ -66,15 +66,16 @@ def pyramid_shapes(height: int, width: int, n_levels: int, scale_factor: float):
 
 def build_pyramid(img, n_levels: int, scale_factor: float):
     """List of per-level float32 images; level l is resized from level l-1
-    (same accumulation as reference: src/orbextractor.cpp:654-678)."""
+    (same accumulation as reference: src/orbextractor.cpp:654-678).
+
+    Uses the MXU banded-matmul resize (ops/resample.py) — plain INTER_LINEAR
+    weights like the reference's cv::resize, no antialias prefilter."""
+    from . import resample
     h, w = img.shape
     shapes = pyramid_shapes(h, w, n_levels, scale_factor)
     levels = [img.astype(jnp.float32)]
     for lvl in range(1, n_levels):
-        prev = levels[-1]
-        levels.append(
-            jax.image.resize(prev, shapes[lvl], method="bilinear")
-        )
+        levels.append(resample.resize_bilinear(levels[-1], shapes[lvl]))
     return levels
 
 

@@ -88,21 +88,40 @@ def stereo_match(feat_left, feat_right, atlas_left, atlas_right, row_offsets,
     row_base = jnp.take(row_offsets, octL)
 
     win = 2 * SAD_HALF + 1
-    dy, dx = np.mgrid[-SAD_HALF : SAD_HALF + 1, -SAD_HALF : SAD_HALF + 1]
-    dy = jnp.asarray(dy.reshape(-1).astype(np.int32))
-    dx = jnp.asarray(dx.reshape(-1).astype(np.int32))
 
-    patch_l = _gather_windows(atlas_left, su, sv + row_base, dx, dy)      # [KL, 121]
+    # Windows via vmap(dynamic_slice) — slice gathers instead of element
+    # gathers (the latter measured ~3x slower on TPU for this stage).
+    # Atlases are edge-padded so starts never clamp-shift for valid
+    # keypoints; the few out-of-band starts produce junk SAD that the
+    # interior/disparity/median gates already reject.
+    yl = sv + row_base
+    lp = jnp.pad(atlas_left, SAD_HALF, mode="edge")
+    Hl, Wl = lp.shape
+
+    def slc_l(y, x):
+        return jax.lax.dynamic_slice(lp, (y, x), (win, win))
+
+    patch_l = jax.vmap(slc_l)(
+        jnp.clip(yl, 0, Hl - win), jnp.clip(su, 0, Wl - win)
+    ).reshape(KL, win * win)
     center_l = patch_l[:, (win * win) // 2]
     patch_l = patch_l - center_l[:, None]
 
-    # Right windows for all 11 slide offsets in one gather: [KL, 11*121].
-    inc = np.arange(-SLIDE, SLIDE + 1, dtype=np.int32)
-    dx_np = np.mgrid[-SAD_HALF : SAD_HALF + 1, -SAD_HALF : SAD_HALF + 1][1].reshape(-1)
-    dx_slide = jnp.asarray((inc[:, None] + dx_np[None, :]).reshape(-1).astype(np.int32))
-    dy_slide = jnp.tile(dy, 2 * SLIDE + 1)
-    patches_r = _gather_windows(atlas_right, sur0, sv + row_base, dx_slide, dy_slide)
-    patches_r = patches_r.reshape(KL, 2 * SLIDE + 1, win * win)
+    strip_w = win + 2 * SLIDE
+    rp = jnp.pad(atlas_right, ((SAD_HALF, SAD_HALF),
+                               (SAD_HALF + SLIDE, SAD_HALF + SLIDE)),
+                 mode="edge")
+    Hr, Wr = rp.shape
+
+    def slc_r(y, x):
+        return jax.lax.dynamic_slice(rp, (y, x), (win, strip_w))
+
+    strip_r = jax.vmap(slc_r)(
+        jnp.clip(yl, 0, Hr - win), jnp.clip(sur0, 0, Wr - strip_w)
+    )                                                     # [KL, 11, 21]
+    patches_r = jnp.stack(
+        [strip_r[:, :, i : i + win] for i in range(2 * SLIDE + 1)], axis=1
+    ).reshape(KL, 2 * SLIDE + 1, win * win)
     centers_r = patches_r[:, :, (win * win) // 2]
     patches_r = patches_r - centers_r[:, :, None]
 
