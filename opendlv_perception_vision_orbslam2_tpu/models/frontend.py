@@ -32,11 +32,19 @@ def process_stereo(img_left, img_right, config: SystemConfig, timestamp=0.0):
     cam = config.camera
     orb = config.orb
 
-    levels_l = image_ops.build_pyramid(img_left, orb.n_levels, orb.scale_factor)
-    levels_r = image_ops.build_pyramid(img_right, orb.n_levels, orb.scale_factor)
-
-    feat_l = extract_from_pyramid(levels_l, orb)
-    feat_r = extract_from_pyramid(levels_r, orb)
+    # Both eyes batch through one vmapped pyramid + extraction program — the
+    # array analogue of the reference's two extraction threads (reference:
+    # src/orbframe.cpp:73-76), and half the op-dispatch overhead of two
+    # sequential extractions.
+    both = jnp.stack([img_left, img_right])
+    levels_lr = jax.vmap(
+        lambda im: image_ops.build_pyramid(im, orb.n_levels, orb.scale_factor)
+    )(both)
+    feat_lr = jax.vmap(lambda lv: extract_from_pyramid(lv, orb))(levels_lr)
+    feat_l = jax.tree.map(lambda a: a[0], feat_lr)
+    feat_r = jax.tree.map(lambda a: a[1], feat_lr)
+    levels_l = [l[0] for l in levels_lr]
+    levels_r = [l[1] for l in levels_lr]
 
     atlas_l, offsets = stereo_ops.build_atlas(levels_l)
     atlas_r, _ = stereo_ops.build_atlas(levels_r)

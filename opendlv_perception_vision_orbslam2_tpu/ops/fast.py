@@ -34,13 +34,13 @@ CIRCLE16 = (
 ARC_LEN = 9  # contiguous run length for FAST-9/16 (OpenCV K=8 means >8)
 
 
-def _neighbor_stack(img):
-    """[16, H, W] stack of the circle neighbours via shifted slices of a
-    padded image (cheap; XLA keeps it fused)."""
+def _neighbor_views(img):
+    """16 shifted [H, W] views of the circle neighbours (padded slices —
+    plain 2-D elementwise chains that XLA fuses fully, unlike a stacked
+    [16, H, W] roll pipeline which materializes the cube repeatedly)."""
     H, W = img.shape
     p = jnp.pad(img, 3, mode="edge")
-    views = [p[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for (dy, dx) in CIRCLE16]
-    return jnp.stack(views, axis=0)
+    return [p[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for (dy, dx) in CIRCLE16]
 
 
 def fast_score_map(img, threshold: float):
@@ -54,21 +54,24 @@ def fast_score_map(img, threshold: float):
     SURVEY.md section 7).
     """
     img = img.astype(jnp.float32)
-    nb = _neighbor_stack(img)            # [16, H, W]
-    diff = nb - img[None]                # p_i - p
+    nb = _neighbor_views(img)            # 16 x [H, W]
+    diff = [n - img for n in nb]         # p_i - p
 
     def arc_response(d):
-        # windowed min over all 16 circular 9-windows: [16, H, W]
-        m = d
-        # min over window of 9 via 8 rolled minima (tree would save a few ops;
-        # XLA fuses either way)
-        w = m
-        for j in range(1, ARC_LEN):
-            w = jnp.minimum(w, jnp.roll(m, -j, axis=0))
-        return jnp.max(w, axis=0)        # best arc per pixel
+        # min over each circular 9-window via a prefix-min doubling tree:
+        # p2[i] = min(d[i], d[i+1]), p4 = min(p2[i], p2[i+2]),
+        # p8 = min(p4[i], p4[i+4]), w9[i] = min(p8[i], d[i+8]).
+        p2 = [jnp.minimum(d[i], d[(i + 1) % 16]) for i in range(16)]
+        p4 = [jnp.minimum(p2[i], p2[(i + 2) % 16]) for i in range(16)]
+        p8 = [jnp.minimum(p4[i], p4[(i + 4) % 16]) for i in range(16)]
+        w9 = [jnp.minimum(p8[i], d[(i + 8) % 16]) for i in range(16)]
+        out = w9[0]
+        for i in range(1, 16):
+            out = jnp.maximum(out, w9[i])
+        return out                        # best arc per pixel
 
-    bright = arc_response(diff)          # >0 iff exists arc of 9 all > p
-    dark = arc_response(-diff)           # >0 iff exists arc of 9 all < p
+    bright = arc_response(diff)
+    dark = arc_response([-x for x in diff])
     v = jnp.maximum(bright, dark)
     is_corner = v > threshold
     return jnp.where(is_corner, v, 0.0)

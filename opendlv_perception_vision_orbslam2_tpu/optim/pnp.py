@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.horn import horn_align
+
 
 N_HYPOTHESES = 256
 # 6-point sets: with the dominant-null-space beta (case N=1) the EPnP system
@@ -35,24 +35,66 @@ N_HYPOTHESES = 256
 SET_SIZE = 6
 
 
-def _epnp_single(p_w, uv, fx, fy, cx, cy):
-    """EPnP on one minimal set: ``p_w [4, 3]``, ``uv [4, 2]`` -> (R, t).
+def _polar_rt(p_src, p_dst):
+    """Rigid (R, t) aligning ``p_src -> p_dst`` by Newton polar iteration on
+    the 3x3 cross-covariance — arithmetic-only replacement for the
+    eigh-based Horn quaternion inside the hypothesis sweep (batched small
+    eigendecompositions are the slowest thing XLA can run on TPU; the
+    winning hypothesis is re-refined by GN afterwards anyway)."""
+    mu_s = jnp.mean(p_src, axis=0)
+    mu_d = jnp.mean(p_dst, axis=0)
+    H = (p_dst - mu_d).T @ (p_src - mu_s)               # [3, 3]
+    X = H / (jnp.linalg.norm(H) + 1e-12)
 
-    Control points = centroid + principal axes (reference:
-    src/pnpsolver.cpp:349-383 chooseControlPoints).
+    def inv3(A):
+        # closed-form adjugate inverse
+        a = A
+        c00 = a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]
+        c01 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
+        c02 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
+        det = a[0, 0] * c00 + a[0, 1] * c01 + a[0, 2] * c02
+        adj = jnp.array([
+            [c00,
+             a[0, 2] * a[2, 1] - a[0, 1] * a[2, 2],
+             a[0, 1] * a[1, 2] - a[0, 2] * a[1, 1]],
+            [c01,
+             a[0, 0] * a[2, 2] - a[0, 2] * a[2, 0],
+             a[0, 2] * a[1, 0] - a[0, 0] * a[1, 2]],
+            [c02,
+             a[0, 1] * a[2, 0] - a[0, 0] * a[2, 1],
+             a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]],
+        ])
+        return adj / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+
+    for _ in range(8):  # Newton polar: X <- (X + X^-T)/2
+        X = 0.5 * (X + inv3(X).T)
+    R = X
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+def _epnp_single(p_w, uv, fx, fy, cx, cy):
+    """EPnP on one minimal set: ``p_w [n, 3]``, ``uv [n, 2]`` -> (R, t).
+
+    TPU re-design of the reference solver (reference:
+    src/pnpsolver.cpp:349-541): control points are the centroid + spread-
+    scaled *identity* axes instead of PCA axes (EPnP is affine-basis
+    independent; identity axes make the barycentrics closed-form and remove
+    a batched 3x3 eigh), the M^T M null vector comes from one Cholesky
+    inverse iteration instead of a 12x12 eigh, and R, t extraction uses
+    Newton polar iteration instead of the 4x4 quaternion eigh.
     """
     n = p_w.shape[0]
     c0 = jnp.mean(p_w, axis=0)
     centered = p_w - c0
-    cov = centered.T @ centered / n
-    evals, evecs = jnp.linalg.eigh(cov)
-    axes = evecs.T * jnp.sqrt(jnp.maximum(evals, 1e-9))[:, None]
-    cw = jnp.concatenate([c0[None], c0[None] + axes], axis=0)   # [4, 3]
+    s = jnp.sqrt(jnp.mean(jnp.sum(centered * centered, axis=1)) / 3.0 + 1e-9)
+    cw = jnp.concatenate([c0[None], c0[None] + s * jnp.eye(3)], axis=0)
 
-    # barycentric coordinates: p = alpha @ cw  (reference: :385-408)
-    A = jnp.concatenate([cw.T, jnp.ones((1, 4))], axis=0)       # [4, 4]
-    rhs = jnp.concatenate([p_w.T, jnp.ones((1, n))], axis=0)    # [4, n]
-    alpha = jnp.linalg.solve(A + 1e-9 * jnp.eye(4), rhs).T      # [n, 4]
+    # closed-form barycentrics for the identity control basis
+    beta3 = centered / s                                        # [n, 3]
+    alpha = jnp.concatenate(
+        [1.0 - jnp.sum(beta3, axis=1, keepdims=True), beta3], axis=1
+    )                                                           # [n, 4]
 
     # M matrix [2n, 12] (reference: fill_M :410-433)
     u, v = uv[:, 0], uv[:, 1]
@@ -65,8 +107,16 @@ def _epnp_single(p_w, uv, fx, fy, cx, cy):
     )
     M = jnp.concatenate([row_u, row_v], axis=0)                 # [2n, 12]
     MtM = M.T @ M
-    _, vecs = jnp.linalg.eigh(MtM)
-    vker = vecs[:, 0]                                           # [12]
+    # Smallest-eigenvector by Cholesky inverse iteration (direct, batched-
+    # friendly; replaces jnp.linalg.eigh which runs an iterative QR sweep
+    # per hypothesis on TPU).
+    eps = 1e-8 * jnp.trace(MtM) + 1e-12
+    L = jnp.linalg.cholesky(MtM + eps * jnp.eye(12))
+    vker = jnp.ones((12,)) / jnp.sqrt(12.0)
+    for _ in range(3):
+        y = jax.scipy.linalg.solve_triangular(L, vker, lower=True)
+        vker = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        vker = vker / (jnp.linalg.norm(vker) + 1e-20)
     # layout back to 4 control points: [x0..x3, y0..y3, z0..z3]
     cc = jnp.stack([vker[0:4], vker[4:8], vker[8:12]], axis=1)  # [4, 3]
 
@@ -81,7 +131,7 @@ def _epnp_single(p_w, uv, fx, fy, cx, cy):
     flip = jnp.sum(p_c[:, 2]) < 0
     p_c = jnp.where(flip, -p_c, p_c)
 
-    R, t, _ = horn_align(p_w, p_c, fix_scale=True)
+    R, t = _polar_rt(p_w, p_c)
     return R, t
 
 

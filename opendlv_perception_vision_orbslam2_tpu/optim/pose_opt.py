@@ -162,23 +162,25 @@ def robust_pose_estimate(T_pred, obs: PoseObs, key, *, fx: float, fy: float,
         th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
         return obs.valid & (chi2 <= th) & (~behind)
 
-    T_a, _, _ = pose_optimize(
-        T_pred, obs, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf
-    )
     res = pnp_ransac(
         obs.p_w, obs.uv, obs.sigma2, obs.valid, key,
         fx=fx, fy=fy, cx=cx, cy=cy,
     )
     T_pnp = lie.make_T(res.R, res.t)
-    # Refine on the RANSAC consensus set only (PnPsolver::Refine semantics,
-    # reference: src/pnpsolver.cpp:234-281).  Optimizing over ALL matches
-    # from the seed lets Huber-weighted gross outliers drag the pose out of
-    # the consensus basin: near the optimum the inlier gradients vanish
-    # while each outlier still pulls with constant delta-magnitude.
-    obs_b = obs._replace(valid=obs.valid & res.inliers)
-    T_b, _, _ = pose_optimize(
-        T_pnp, obs_b, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf
-    )
+    # Two GN chains — from the motion prediction over all matches, and from
+    # the RANSAC seed over the consensus set only (PnPsolver::Refine
+    # semantics, reference: src/pnpsolver.cpp:234-281; optimizing over ALL
+    # matches from the seed lets Huber-weighted gross outliers drag the pose
+    # out of the consensus basin).  vmapped so the 4x10 sequential GN
+    # iterations are paid once, not twice.
+    T_inits = jnp.stack([T_pred, T_pnp])
+    valids = jnp.stack([obs.valid, obs.valid & res.inliers])
+    T_ab, _, _ = jax.vmap(
+        lambda Ti, v: pose_optimize(
+            Ti, obs._replace(valid=v), fx=fx, fy=fy, cx=cx, cy=cy, bf=bf
+        )
+    )(T_inits, valids)
+    T_a, T_b = T_ab[0], T_ab[1]
     # fair comparison: chi2 inliers over the FULL observation set
     inl_a = classify(T_a)
     inl_b = classify(T_b)
