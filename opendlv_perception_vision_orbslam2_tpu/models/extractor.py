@@ -75,7 +75,18 @@ def _select_level_keypoints(scores, strong, budget: int, cell: int):
     # Strong corners dominate within the cell (threshold-fallback semantics).
     in_cell_key = jnp.where(cells > 0, cells + 1e6 * cells_strong, -1.0)
     k = min(CANDIDATES_PER_CELL, cell * cell)
-    top_vals, top_idx = jax.lax.top_k(in_cell_key, k)      # [C, k]
+    # k iterated argmaxes instead of lax.top_k: top_k lowers to a full sort
+    # of every cell row; four masked max passes are pure VPU work.
+    col = jax.lax.broadcasted_iota(jnp.int32, in_cell_key.shape, 1)
+    cur = in_cell_key
+    tv, ti = [], []
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=1)
+        tv.append(jnp.take_along_axis(cur, i[:, None], axis=1)[:, 0])
+        ti.append(i)
+        cur = jnp.where(col == i[:, None], -1.0, cur)
+    top_vals = jnp.stack(tv, axis=1)                        # [C, k]
+    top_idx = jnp.stack(ti, axis=1)
 
     # Global breadth-first key: slot rank beats response, so cell coverage is
     # maximized before densifying any one cell (quadtree-equivalent).
