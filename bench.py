@@ -18,25 +18,36 @@ import time
 import numpy as np
 
 
-def _probe_device(timeout_s: float = 90.0) -> bool:
+def _probe_device() -> bool:
     """True if the default JAX backend executes a trivial program in time.
     The tunneled TPU backend can wedge hard (observed: init hangs forever),
     and a hung in-process init would poison this process too — probe in a
-    subprocess so the bench can still fall back to CPU and report."""
+    subprocess so the bench can still fall back to CPU and report.  Wedges
+    are transient (tunnel hiccups), so retry with growing timeouts before
+    giving up on the chip: a CPU-fallback number is a last resort, not an
+    answer."""
     import subprocess
 
     code = (
         "import numpy, jax, jax.numpy as jnp;"
         "numpy.asarray(jnp.ones((8,8)).sum());print('ok')"
     )
-    try:
-        res = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, text=True,
-        )
-        return "ok" in res.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt, timeout_s in enumerate((90.0, 120.0, 180.0)):
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True, text=True,
+            )
+            if "ok" in res.stdout:
+                return True
+            print(f"device probe attempt {attempt + 1} failed "
+                  f"(rc={res.returncode}): {res.stderr.strip()[-200:]}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"device probe attempt {attempt + 1} timed out "
+                  f"after {timeout_s:.0f}s", file=sys.stderr)
+        time.sleep(5.0 * (attempt + 1))
+    return False
 
 
 def main():
