@@ -129,17 +129,17 @@ def extract_features(img, config: OrbConfig) -> Features:
     return extract_from_pyramid(levels, config)
 
 
-def extract_from_pyramid(levels: Sequence, config: OrbConfig) -> Features:
-    """ORB extraction given a prebuilt pyramid (lets callers reuse the levels
-    for the stereo SAD atlas without recomputing them).
+def _select_pyramid_keypoints(levels: Sequence, config: OrbConfig):
+    """FAST + NMS + spatially-uniform selection over all pyramid levels.
 
-    Returns :class:`Features` padded to ``config.max_keypoints``; keypoint
-    coords are level-0 pixels (scaled back up like the reference,
-    src/orbextractor.cpp:630-641).
+    Returns concatenated per-level ``(xy level-coords, response, octave,
+    valid, y0, x0)`` where ``(y0, x0)`` are patch top-left corners into the
+    :func:`..ops.orb.build_patch_atlas` layout for these levels.
     """
     budgets = per_level_budgets(config.n_features, config.scale_factor, config.n_levels)
 
-    xs, resps, octs, angs, descs, valids = [], [], [], [], [], []
+    row = 0
+    xs, resps, octs, valids, y0s, x0s = [], [], [], [], [], []
     for lvl, (level_img, budget) in enumerate(zip(levels, budgets)):
         scores, strong = fast_ops.fast_with_fallback(
             level_img, float(config.ini_th_fast), float(config.min_th_fast)
@@ -149,29 +149,31 @@ def extract_from_pyramid(levels: Sequence, config: OrbConfig) -> Features:
         xy, response, valid = _select_level_keypoints(
             scores, strong, budget, config.cell_size
         )
-        # One 45x45 patch per keypoint feeds orientation, the descriptor
-        # blur and the binned steered BRIEF as MXU matmuls (see ops/orb.py;
-        # replaces the element-gather pipelines measured at ~20 ms/eye).
-        patches = orb_ops.extract_patches(level_img, xy)
-        angle = orb_ops.ic_angles_from_patches(patches)
-        desc = orb_ops.brief_from_patches(patches, angle)
-
-        scale = jnp.float32(config.scale_factor ** lvl)
-        xs.append(xy * scale)
+        H, W = level_img.shape
+        y0s.append(jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1) + row)
+        x0s.append(jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W - 1))
+        row += H + 2 * orb_ops.PATCH_HALF
+        xs.append(xy)
         resps.append(response)
         octs.append(jnp.full((budget,), lvl, jnp.int32))
-        angs.append(angle)
-        descs.append(desc)
         valids.append(valid)
 
-    xy = jnp.concatenate(xs, axis=0)
-    response = jnp.concatenate(resps, axis=0)
-    octave = jnp.concatenate(octs, axis=0)
-    angle = jnp.concatenate(angs, axis=0)
-    desc = jnp.concatenate(descs, axis=0)
-    valid = jnp.concatenate(valids, axis=0)
+    return (
+        jnp.concatenate(xs, axis=0),
+        jnp.concatenate(resps, axis=0),
+        jnp.concatenate(octs, axis=0),
+        jnp.concatenate(valids, axis=0),
+        jnp.concatenate(y0s, axis=0),
+        jnp.concatenate(x0s, axis=0),
+    )
 
-    # Pad to the static keypoint capacity.
+
+def _to_features(config, xy_lvl, response, octave, angle, desc, valid) -> Features:
+    """Scale level coords to level-0 pixels and pad to the static capacity
+    (reference scales keypoints back up, src/orbextractor.cpp:630-641)."""
+    scale = jnp.power(jnp.float32(config.scale_factor), octave.astype(jnp.float32))
+    xy = xy_lvl * scale[:, None]
+
     cap = config.max_keypoints
     n = xy.shape[0]
     if n > cap:
@@ -194,12 +196,61 @@ def extract_from_pyramid(levels: Sequence, config: OrbConfig) -> Features:
     )
 
 
+def extract_from_pyramid(levels: Sequence, config: OrbConfig) -> Features:
+    """ORB extraction given a prebuilt pyramid (lets callers reuse the levels
+    for the stereo SAD atlas without recomputing them).
+
+    All levels' keypoints gather their 45x45 patches from one stacked atlas
+    in a single batched window gather (Pallas kernel on TPU), then
+    orientation, the descriptor blur and the binned steered BRIEF run as
+    MXU matmuls over every keypoint of the image at once (see ops/orb.py).
+    """
+    xy, response, octave, valid, y0, x0 = _select_pyramid_keypoints(levels, config)
+    atlas, _ = orb_ops.build_patch_atlas(levels)
+    patches = orb_ops.gather_atlas_windows(
+        atlas, y0, x0, orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE
+    )
+    angle = orb_ops.ic_angles_from_patches(patches)
+    desc = orb_ops.brief_from_patches(patches, angle)
+    return _to_features(config, xy, response, octave, angle, desc, valid)
+
+
+def extract_from_pyramid_pair(levels_left: Sequence, levels_right: Sequence,
+                              config: OrbConfig):
+    """Joint L/R extraction: both eyes' keypoints share ONE atlas gather and
+    ONE describe stage (2x the matmul rows — better MXU occupancy, half the
+    kernel dispatches).  Array analogue of the reference's two extraction
+    threads (reference: src/orbframe.cpp:73-76)."""
+    sel_l = _select_pyramid_keypoints(levels_left, config)
+    sel_r = _select_pyramid_keypoints(levels_right, config)
+
+    atlas_l, _ = orb_ops.build_patch_atlas(levels_left)
+    atlas_r, _ = orb_ops.build_patch_atlas(levels_right)
+    atlas = jnp.concatenate([atlas_l, atlas_r], axis=0)
+
+    n = sel_l[0].shape[0]
+    y0 = jnp.concatenate([sel_l[4], sel_r[4] + atlas_l.shape[0]])
+    x0 = jnp.concatenate([sel_l[5], sel_r[5]])
+    patches = orb_ops.gather_atlas_windows(
+        atlas, y0, x0, orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE
+    )
+    angle = orb_ops.ic_angles_from_patches(patches)
+    desc = orb_ops.brief_from_patches(patches, angle)
+
+    def feats(sel, sl):
+        return _to_features(config, sel[0], sel[1], sel[2],
+                            angle[sl], desc[sl], sel[3])
+
+    return feats(sel_l, slice(0, n)), feats(sel_r, slice(n, 2 * n))
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def extract_stereo_pair(img_left, img_right, config: OrbConfig):
-    """Batched L/R extraction — the vmap analogue of the reference's two
-    extraction threads (reference: src/orbframe.cpp:73-76)."""
-    stacked = jnp.stack([img_left, img_right], axis=0)
-    feats = jax.vmap(lambda im: extract_features(im, config))(stacked)
-    left = jax.tree.map(lambda a: a[0], feats)
-    right = jax.tree.map(lambda a: a[1], feats)
-    return left, right
+    """Full stereo extraction from raw images (pyramids built internally)."""
+    both = jnp.stack([img_left, img_right], axis=0)
+    levels_lr = jax.vmap(
+        lambda im: image_ops.build_pyramid(im, config.n_levels, config.scale_factor)
+    )(both)
+    return extract_from_pyramid_pair(
+        [l[0] for l in levels_lr], [l[1] for l in levels_lr], config
+    )

@@ -19,7 +19,7 @@ from ..ops import image as image_ops
 from ..ops import lie
 from ..ops import stereo as stereo_ops
 from ..utils.config import SystemConfig
-from .extractor import extract_from_pyramid
+from .extractor import extract_from_pyramid, extract_from_pyramid_pair
 from .frame import Features, FrameState
 
 
@@ -32,19 +32,17 @@ def process_stereo(img_left, img_right, config: SystemConfig, timestamp=0.0):
     cam = config.camera
     orb = config.orb
 
-    # Both eyes batch through one vmapped pyramid + extraction program — the
-    # array analogue of the reference's two extraction threads (reference:
-    # src/orbframe.cpp:73-76), and half the op-dispatch overhead of two
-    # sequential extractions.
+    # Both eyes batch through one vmapped pyramid, then share a single
+    # patch-atlas gather + describe stage — the array analogue of the
+    # reference's two extraction threads (reference: src/orbframe.cpp:73-76)
+    # with 2x the matmul rows per descriptor stage.
     both = jnp.stack([img_left, img_right])
     levels_lr = jax.vmap(
         lambda im: image_ops.build_pyramid(im, orb.n_levels, orb.scale_factor)
     )(both)
-    feat_lr = jax.vmap(lambda lv: extract_from_pyramid(lv, orb))(levels_lr)
-    feat_l = jax.tree.map(lambda a: a[0], feat_lr)
-    feat_r = jax.tree.map(lambda a: a[1], feat_lr)
     levels_l = [l[0] for l in levels_lr]
     levels_r = [l[1] for l in levels_lr]
+    feat_l, feat_r = extract_from_pyramid_pair(levels_l, levels_r, orb)
 
     atlas_l, offsets = stereo_ops.build_atlas(levels_l)
     atlas_r, _ = stereo_ops.build_atlas(levels_r)

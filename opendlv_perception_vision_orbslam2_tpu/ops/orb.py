@@ -153,6 +153,63 @@ BRIEF_SIDE = 2 * BRIEF_HALF + 1                # 39x39 blurred interior
 N_ANGLE_BINS = 30                              # 2*pi/30 = 12 deg (ORB paper)
 
 
+def build_patch_atlas(levels, half: int = PATCH_HALF):
+    """Stack edge-padded pyramid levels into one tall image.
+
+    Each level is replicate-padded by ``half`` (so patch gathers never clamp
+    at level borders) and zero-extended to the widest padded level; levels
+    stack vertically.  Returns ``(atlas [sum(H_l+2h), W0+2h], row_offsets)``
+    where a patch centred at level coords ``(x, y)`` of level ``l`` starts at
+    ``(round(y) + row_offsets[l], round(x))`` in the atlas.
+
+    One atlas feeds *one* batched window gather for all levels (and, for
+    stereo, both eyes — the two atlases concatenate), replacing the per-level
+    per-eye gathers; on TPU the gather is the Pallas kernel in
+    ops/gather_pallas.py.
+    """
+    w0 = levels[0].shape[1] + 2 * half
+    padded, offsets, row = [], [], 0
+    for im in levels:
+        p = jnp.pad(im, half, mode="edge")
+        p = jnp.pad(p, ((0, 0), (0, w0 - p.shape[1])))
+        padded.append(p)
+        offsets.append(row)
+        row += p.shape[0]
+    return jnp.concatenate(padded, axis=0), np.asarray(offsets, np.int32)
+
+
+def _use_pallas_gather() -> bool:
+    import os
+
+    mode = os.environ.get("ORBSLAM2_TPU_PATCH_GATHER", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def gather_atlas_windows(atlas, y0, x0, ph: int, pw: int | None = None):
+    """``[N]`` top-left corners -> ``[N, ph, pw]`` windows of ``atlas``.
+
+    Pallas aligned-load kernel on TPU; vmap(dynamic_slice) slice gathers on
+    CPU (where Mosaic only interprets).  Bit-identical outputs either way.
+    """
+    pw = ph if pw is None else pw
+    if _use_pallas_gather():
+        from .gather_pallas import gather_patches
+
+        return gather_patches(atlas, y0, x0, ph=ph, pw=pw)
+    H, W = atlas.shape
+    y0 = jnp.clip(y0, 0, H - ph)
+    x0 = jnp.clip(x0, 0, W - pw)
+
+    def slc(y, x):
+        return jax.lax.dynamic_slice(atlas, (y, x), (ph, pw))
+
+    return jax.vmap(slc)(y0, x0)
+
+
 def extract_patches(img, kpts_xy, half: int = PATCH_HALF):
     """One ``(2*half+1)^2`` patch per keypoint via vmap(dynamic_slice).
 

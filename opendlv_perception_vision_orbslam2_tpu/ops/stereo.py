@@ -28,6 +28,25 @@ import numpy as np
 
 from .hamming import TH_HIGH, TH_LOW, hamming_matrix, MAX_DIST
 
+def _gather_win(img, y0, x0, ph: int, pw: int):
+    """SAD window gather: vmap(dynamic_slice) by default; set
+    ``ORBSLAM2_TPU_SAD_GATHER=pallas`` to route through the Pallas window
+    gather (ops/gather_pallas.py) — the small 11-wide windows amortize its
+    256-lane aligned loads worse than the 45x45 descriptor patches do, so
+    the default stays XLA until measured faster on the target chip."""
+    import os
+
+    if os.environ.get("ORBSLAM2_TPU_SAD_GATHER", "xla") == "pallas":
+        from .gather_pallas import gather_patches
+
+        return gather_patches(img, y0, x0, ph=ph, pw=pw)
+
+    def slc(y, x):
+        return jax.lax.dynamic_slice(img, (y, x), (ph, pw))
+
+    return jax.vmap(slc)(y0, x0)
+
+
 SAD_HALF = 5          # w in the reference (11x11 window)
 SLIDE = 5             # L in the reference (+-5 px slide)
 TH_ORB = (TH_HIGH + TH_LOW) // 2   # 75 (reference: src/orbframe.cpp:540)
@@ -89,20 +108,17 @@ def stereo_match(feat_left, feat_right, atlas_left, atlas_right, row_offsets,
 
     win = 2 * SAD_HALF + 1
 
-    # Windows via vmap(dynamic_slice) — slice gathers instead of element
-    # gathers (the latter measured ~3x slower on TPU for this stage).
-    # Atlases are edge-padded so starts never clamp-shift for valid
-    # keypoints; the few out-of-band starts produce junk SAD that the
-    # interior/disparity/median gates already reject.
+    # Windows via batched slice gathers (element gathers measured ~3x slower
+    # on TPU for this stage; see ops/orb.gather_atlas_windows for the
+    # TPU-vs-CPU gather dispatch).  Atlases are edge-padded so starts never
+    # clamp-shift for valid keypoints; the few out-of-band starts produce
+    # junk SAD that the interior/disparity/median gates already reject.
     yl = sv + row_base
     lp = jnp.pad(atlas_left, SAD_HALF, mode="edge")
     Hl, Wl = lp.shape
 
-    def slc_l(y, x):
-        return jax.lax.dynamic_slice(lp, (y, x), (win, win))
-
-    patch_l = jax.vmap(slc_l)(
-        jnp.clip(yl, 0, Hl - win), jnp.clip(su, 0, Wl - win)
+    patch_l = _gather_win(
+        lp, jnp.clip(yl, 0, Hl - win), jnp.clip(su, 0, Wl - win), win, win
     ).reshape(KL, win * win)
     center_l = patch_l[:, (win * win) // 2]
     patch_l = patch_l - center_l[:, None]
@@ -113,11 +129,9 @@ def stereo_match(feat_left, feat_right, atlas_left, atlas_right, row_offsets,
                  mode="edge")
     Hr, Wr = rp.shape
 
-    def slc_r(y, x):
-        return jax.lax.dynamic_slice(rp, (y, x), (win, strip_w))
-
-    strip_r = jax.vmap(slc_r)(
-        jnp.clip(yl, 0, Hr - win), jnp.clip(sur0, 0, Wr - strip_w)
+    strip_r = _gather_win(
+        rp, jnp.clip(yl, 0, Hr - win), jnp.clip(sur0, 0, Wr - strip_w),
+        win, strip_w,
     )                                                     # [KL, 11, 21]
     patches_r = jnp.stack(
         [strip_r[:, :, i : i + win] for i in range(2 * SLIDE + 1)], axis=1

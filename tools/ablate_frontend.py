@@ -1,7 +1,10 @@
 """Queued ablation timings of the stereo front-end at the bench operating
 point.  Each variant is ONE jitted program, timed with back-to-back enqueues
 (dispatch overlaps compute, like the bench throughput mode) so per-call
-tunnel overhead cancels.  Used to direct optimization work."""
+tunnel overhead cancels.  Used to direct optimization work.
+
+Env: ORBSLAM2_TPU_PATCH_GATHER / ORBSLAM2_TPU_SAD_GATHER select gather impls.
+"""
 
 import sys
 import time
@@ -15,16 +18,11 @@ sys.path.insert(0, "/root/repo")
 from opendlv_perception_vision_orbslam2_tpu.models import extractor
 from opendlv_perception_vision_orbslam2_tpu.models.frontend import process_stereo
 from opendlv_perception_vision_orbslam2_tpu.models.tracking import init_state, vo_step
-from opendlv_perception_vision_orbslam2_tpu.ops import fast as fast_ops
 from opendlv_perception_vision_orbslam2_tpu.ops import image as image_ops
 from opendlv_perception_vision_orbslam2_tpu.ops import orb as orb_ops
 from opendlv_perception_vision_orbslam2_tpu.ops import stereo as stereo_ops
 from opendlv_perception_vision_orbslam2_tpu.utils import synthetic
 from opendlv_perception_vision_orbslam2_tpu.utils.config import SystemConfig
-
-USE_PALLAS_FAST = "--pallas" in sys.argv
-if USE_PALLAS_FAST:
-    from opendlv_perception_vision_orbslam2_tpu.ops import fast_pallas
 
 
 def hard_sync(x):
@@ -39,65 +37,70 @@ def timeit(name, fn, *args, reps=40):
         out = fn(*args)
     hard_sync(out)
     dt = (time.time() - t0) / reps * 1e3
-    print(f"{name:46s} {dt:8.3f} ms")
+    print(f"{name:46s} {dt:8.3f} ms", flush=True)
     return out
 
 
 def main():
     cfg = SystemConfig()
     ocfg = cfg.orb
-    print("backend:", jax.default_backend(), "pallas_fast:", USE_PALLAS_FAST,
-          file=sys.stderr)
+    print("backend:", jax.default_backend(), file=sys.stderr)
     lefts, rights, gt, _ = synthetic.render_stereo_sequence(
         cfg, n_frames=3, n_points=900, seed=0, step=0.6
     )
     L, R = jax.device_put(lefts[1]), jax.device_put(rights[1])
     both = jnp.stack([L, R])
 
-    def pyramid(im):
-        return tuple(image_ops.build_pyramid(im, ocfg.n_levels, ocfg.scale_factor))
+    def pyramids(both):
+        lv = jax.vmap(
+            lambda im: image_ops.build_pyramid(im, ocfg.n_levels, ocfg.scale_factor)
+        )(both)
+        return tuple(l[0] for l in lv), tuple(l[1] for l in lv)
 
-    def fast_stage(levels):
-        outs = []
-        for lv in levels:
-            if USE_PALLAS_FAST:
-                s = fast_pallas.fast_nms(lv, float(ocfg.min_th_fast))
-            else:
-                s, _ = fast_ops.fast_with_fallback(
-                    lv, float(ocfg.ini_th_fast), float(ocfg.min_th_fast))
-                s = fast_ops.nms_scores(s)
-            outs.append(fast_ops.mask_border(s, extractor.EDGE_BORDER))
-        return tuple(outs)
+    def select(both):
+        ll, lr = pyramids(both)
+        return (extractor._select_pyramid_keypoints(ll, ocfg),
+                extractor._select_pyramid_keypoints(lr, ocfg), ll, lr)
 
-    budgets = extractor.per_level_budgets(
-        ocfg.n_features, ocfg.scale_factor, ocfg.n_levels)
+    def gather(both):
+        sel_l, sel_r, ll, lr = select(both)
+        al, _ = orb_ops.build_patch_atlas(ll)
+        ar, _ = orb_ops.build_patch_atlas(lr)
+        atlas = jnp.concatenate([al, ar], axis=0)
+        y0 = jnp.concatenate([sel_l[4], sel_r[4] + al.shape[0]])
+        x0 = jnp.concatenate([sel_l[5], sel_r[5]])
+        p = orb_ops.gather_atlas_windows(
+            atlas, y0, x0, orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE)
+        return p, sel_l, sel_r, ll, lr
 
-    def select_stage(levels):
-        outs = []
-        for s, b in zip(fast_stage(levels), budgets):
-            outs.append(extractor._select_level_keypoints(
-                s, s > float(ocfg.ini_th_fast), b, ocfg.cell_size))
-        return tuple(outs)
+    def describe(both):
+        p, sel_l, sel_r, ll, lr = gather(both)
+        ang = orb_ops.ic_angles_from_patches(p)
+        return orb_ops.brief_from_patches(p, ang), ang, sel_l, sel_r, ll, lr
 
-    def patch_stage(levels):
-        sels = select_stage(levels)
-        return tuple(orb_ops.extract_patches(lv, s[0])
-                     for lv, s in zip(levels, sels))
+    def extract(both):
+        ll, lr = pyramids(both)
+        return extractor.extract_from_pyramid_pair(ll, lr, ocfg), ll, lr
 
-    def desc_stage(levels):
-        ps = patch_stage(levels)
-        angs = tuple(orb_ops.ic_angles_from_patches(p) for p in ps)
-        return tuple(orb_ops.brief_from_patches(p, a) for p, a in zip(ps, angs))
+    def stereo(both):
+        (fl, fr), ll, lr = extract(both)
+        al, offs = stereo_ops.build_atlas(list(ll))
+        ar, _ = stereo_ops.build_atlas(list(lr))
+        return stereo_ops.stereo_match(
+            fl, fr, al, ar, offs, ocfg.scale_factor, cfg.camera.fx, cfg.camera.bf)
 
-    timeit("A pyramid (both eyes)", jax.jit(jax.vmap(pyramid)), both)
-    timeit("B A+fast+nms", jax.jit(jax.vmap(lambda im: fast_stage(pyramid(im)))), both)
-    timeit("C B+select", jax.jit(jax.vmap(lambda im: select_stage(pyramid(im)))), both)
-    timeit("D C+patches", jax.jit(jax.vmap(lambda im: patch_stage(pyramid(im)))), both)
-    timeit("E D+angles+brief", jax.jit(jax.vmap(lambda im: desc_stage(pyramid(im)))), both)
-    timeit("F process_stereo (full FE)", jax.jit(lambda l, r: process_stereo(l, r, cfg)), L, R)
+    timeit("A pyramid (both eyes)", jax.jit(pyramids), both)
+    timeit("B A+fast+nms+select", jax.jit(select), both)
+    timeit("C B+atlas+patch gather", jax.jit(gather), both)
+    timeit("D C+angles+brief", jax.jit(describe), both)
+    timeit("E D->Features (pair extract)", jax.jit(extract), both)
+    timeit("F E+stereo match", jax.jit(stereo), both)
+    timeit("G process_stereo (full FE)",
+           jax.jit(lambda l, r: process_stereo(l, r, cfg)), L, R)
 
     state = init_state(process_stereo(lefts[0], rights[0], cfg))
-    timeit("G vo_step (full frame)", jax.jit(lambda s, l, r: vo_step(s, l, r, cfg)), state, L, R)
+    timeit("H vo_step (full frame)",
+           jax.jit(lambda s, l, r: vo_step(s, l, r, cfg)), state, L, R)
 
 
 if __name__ == "__main__":
