@@ -32,7 +32,7 @@ def _probe_device() -> bool:
         "import numpy, jax, jax.numpy as jnp;"
         "numpy.asarray(jnp.ones((8,8)).sum());print('ok')"
     )
-    for attempt, timeout_s in enumerate((90.0, 120.0, 180.0)):
+    for attempt, timeout_s in enumerate((90.0, 120.0, 240.0, 360.0)):
         try:
             res = subprocess.run(
                 [sys.executable, "-c", code], timeout=timeout_s,
@@ -46,7 +46,9 @@ def _probe_device() -> bool:
         except subprocess.TimeoutExpired:
             print(f"device probe attempt {attempt + 1} timed out "
                   f"after {timeout_s:.0f}s", file=sys.stderr)
-        time.sleep(5.0 * (attempt + 1))
+        # Observed wedge durations are 10-20 min; spacing the retries out
+        # lets a wedged tunnel drain before the next (longer) attempt.
+        time.sleep(30.0 * (attempt + 1))
     return False
 
 
@@ -70,6 +72,19 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: a bench run earlier in the session (or a
+    # previous round on the same machine) populates it, so the end-of-round
+    # bench doesn't depend on the remote compile helper being healthy — the
+    # tunnel wedge that forced round 1's CPU fallback hit exactly that path.
+    try:
+        cache_dir = os.environ.get(
+            "ORBSLAM2_TPU_COMPILE_CACHE", "/root/.orbslam2_tpu_jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # cache support is best-effort
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
 
     from opendlv_perception_vision_orbslam2_tpu.models.frontend import process_stereo
     from opendlv_perception_vision_orbslam2_tpu.models.tracking import (

@@ -130,41 +130,47 @@ def extract_features(img, config: OrbConfig) -> Features:
 
 
 def _select_pyramid_keypoints(levels: Sequence, config: OrbConfig):
-    """FAST + NMS + spatially-uniform selection over all pyramid levels.
+    """FAST + NMS + spatially-uniform selection over all pyramid levels,
+    batched over a leading image axis (the two stereo eyes run as one
+    vmapped program per level).
 
-    Returns concatenated per-level ``(xy level-coords, response, octave,
-    valid, y0, x0)`` where ``(y0, x0)`` are patch top-left corners into the
-    :func:`..ops.orb.build_patch_atlas` layout for these levels.
+    ``levels``: list of ``[B, H_l, W_l]`` stacked level images.  Returns
+    per-level-concatenated ``(xy level-coords [B, N, 2], response [B, N],
+    octave [B, N], valid [B, N], y0 [B, N], x0 [B, N])`` where ``(y0, x0)``
+    are patch top-left corners into the :func:`..ops.orb.build_patch_atlas`
+    layout for one eye's levels (callers add per-eye atlas offsets).
     """
     budgets = per_level_budgets(config.n_features, config.scale_factor, config.n_levels)
 
     row = 0
     xs, resps, octs, valids, y0s, x0s = [], [], [], [], [], []
     for lvl, (level_img, budget) in enumerate(zip(levels, budgets)):
-        scores, strong = fast_ops.fast_with_fallback(
-            level_img, float(config.ini_th_fast), float(config.min_th_fast)
-        )
-        scores = fast_ops.nms_scores(scores)
-        scores = fast_ops.mask_border(scores, EDGE_BORDER)
-        xy, response, valid = _select_level_keypoints(
-            scores, strong, budget, config.cell_size
-        )
-        H, W = level_img.shape
-        y0s.append(jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1) + row)
-        x0s.append(jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W - 1))
+        B, H, W = level_img.shape
+
+        def sel_one(img, budget=budget):
+            scores, strong = fast_ops.fast_with_fallback(
+                img, float(config.ini_th_fast), float(config.min_th_fast)
+            )
+            scores = fast_ops.nms_scores(scores)
+            scores = fast_ops.mask_border(scores, EDGE_BORDER)
+            return _select_level_keypoints(scores, strong, budget, config.cell_size)
+
+        xy, response, valid = jax.vmap(sel_one)(level_img)
+        y0s.append(jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, H - 1) + row)
+        x0s.append(jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, W - 1))
         row += H + 2 * orb_ops.PATCH_HALF
         xs.append(xy)
         resps.append(response)
-        octs.append(jnp.full((budget,), lvl, jnp.int32))
+        octs.append(jnp.full((B, budget), lvl, jnp.int32))
         valids.append(valid)
 
     return (
-        jnp.concatenate(xs, axis=0),
-        jnp.concatenate(resps, axis=0),
-        jnp.concatenate(octs, axis=0),
-        jnp.concatenate(valids, axis=0),
-        jnp.concatenate(y0s, axis=0),
-        jnp.concatenate(x0s, axis=0),
+        jnp.concatenate(xs, axis=1),
+        jnp.concatenate(resps, axis=1),
+        jnp.concatenate(octs, axis=1),
+        jnp.concatenate(valids, axis=1),
+        jnp.concatenate(y0s, axis=1),
+        jnp.concatenate(x0s, axis=1),
     )
 
 
@@ -201,47 +207,55 @@ def extract_from_pyramid(levels: Sequence, config: OrbConfig) -> Features:
     for the stereo SAD atlas without recomputing them).
 
     All levels' keypoints gather their 45x45 patches from one stacked atlas
-    in a single batched window gather (Pallas kernel on TPU), then
+    in a single batched window gather (Pallas kernel opt-in on TPU), then
     orientation, the descriptor blur and the binned steered BRIEF run as
     MXU matmuls over every keypoint of the image at once (see ops/orb.py).
     """
-    xy, response, octave, valid, y0, x0 = _select_pyramid_keypoints(levels, config)
+    stacked = [lv[None] for lv in levels]
+    xy, response, octave, valid, y0, x0 = _select_pyramid_keypoints(
+        stacked, config
+    )
     atlas, _ = orb_ops.build_patch_atlas(levels)
     patches = orb_ops.gather_atlas_windows(
-        atlas, y0, x0, orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE
+        atlas, y0[0], x0[0], orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE
     )
     angle = orb_ops.ic_angles_from_patches(patches)
     desc = orb_ops.brief_from_patches(patches, angle)
-    return _to_features(config, xy, response, octave, angle, desc, valid)
+    return _to_features(config, xy[0], response[0], octave[0], angle, desc,
+                        valid[0])
 
 
-def extract_from_pyramid_pair(levels_left: Sequence, levels_right: Sequence,
-                              config: OrbConfig):
-    """Joint L/R extraction: both eyes' keypoints share ONE atlas gather and
-    ONE describe stage (2x the matmul rows — better MXU occupancy, half the
-    kernel dispatches).  Array analogue of the reference's two extraction
-    threads (reference: src/orbframe.cpp:73-76)."""
-    sel_l = _select_pyramid_keypoints(levels_left, config)
-    sel_r = _select_pyramid_keypoints(levels_right, config)
+def extract_from_pyramid_pair(levels_lr: Sequence, config: OrbConfig):
+    """Joint L/R extraction: FAST + selection vmap over the two eyes, then
+    both eyes' keypoints share ONE atlas gather and ONE describe stage (2x
+    the matmul rows — better MXU occupancy, half the kernel dispatches).
+    Array analogue of the reference's two extraction threads (reference:
+    src/orbframe.cpp:73-76).
 
-    atlas_l, _ = orb_ops.build_patch_atlas(levels_left)
-    atlas_r, _ = orb_ops.build_patch_atlas(levels_right)
+    ``levels_lr``: list of ``[2, H_l, W_l]`` stacked level images.
+    """
+    xy, response, octave, valid, y0, x0 = _select_pyramid_keypoints(
+        levels_lr, config
+    )
+
+    atlas_l, _ = orb_ops.build_patch_atlas([lv[0] for lv in levels_lr])
+    atlas_r, _ = orb_ops.build_patch_atlas([lv[1] for lv in levels_lr])
     atlas = jnp.concatenate([atlas_l, atlas_r], axis=0)
 
-    n = sel_l[0].shape[0]
-    y0 = jnp.concatenate([sel_l[4], sel_r[4] + atlas_l.shape[0]])
-    x0 = jnp.concatenate([sel_l[5], sel_r[5]])
+    n = xy.shape[1]
+    y0_flat = jnp.concatenate([y0[0], y0[1] + atlas_l.shape[0]])
+    x0_flat = jnp.concatenate([x0[0], x0[1]])
     patches = orb_ops.gather_atlas_windows(
-        atlas, y0, x0, orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE
+        atlas, y0_flat, x0_flat, orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE
     )
     angle = orb_ops.ic_angles_from_patches(patches)
     desc = orb_ops.brief_from_patches(patches, angle)
 
-    def feats(sel, sl):
-        return _to_features(config, sel[0], sel[1], sel[2],
-                            angle[sl], desc[sl], sel[3])
+    def feats(e, sl):
+        return _to_features(config, xy[e], response[e], octave[e],
+                            angle[sl], desc[sl], valid[e])
 
-    return feats(sel_l, slice(0, n)), feats(sel_r, slice(n, 2 * n))
+    return feats(0, slice(0, n)), feats(1, slice(n, 2 * n))
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -251,6 +265,4 @@ def extract_stereo_pair(img_left, img_right, config: OrbConfig):
     levels_lr = jax.vmap(
         lambda im: image_ops.build_pyramid(im, config.n_levels, config.scale_factor)
     )(both)
-    return extract_from_pyramid_pair(
-        [l[0] for l in levels_lr], [l[1] for l in levels_lr], config
-    )
+    return extract_from_pyramid_pair(levels_lr, config)

@@ -40,9 +40,9 @@ def process_stereo(img_left, img_right, config: SystemConfig, timestamp=0.0):
     levels_lr = jax.vmap(
         lambda im: image_ops.build_pyramid(im, orb.n_levels, orb.scale_factor)
     )(both)
+    feat_l, feat_r = extract_from_pyramid_pair(levels_lr, orb)
     levels_l = [l[0] for l in levels_lr]
     levels_r = [l[1] for l in levels_lr]
-    feat_l, feat_r = extract_from_pyramid_pair(levels_l, levels_r, orb)
 
     atlas_l, offsets = stereo_ops.build_atlas(levels_l)
     atlas_r, _ = stereo_ops.build_atlas(levels_r)

@@ -34,6 +34,12 @@ MIN_MATCHES_MOTION = 20   # reference: src/tracking.cpp:744
 MIN_INLIERS_POSE = 10     # reference: src/tracking.cpp:756
 MAX_VO_POINTS = 100       # close/far VO point budget (reference:
                           # src/tracking.cpp:668-686)
+SRC_BUDGET = 1024         # static source-point cap for the matchers: the
+                          # usable set (close + nearest-100) rarely exceeds
+                          # a few hundred points, so compacting sources to
+                          # the closest 1024 halves every [S, K] matrix in
+                          # the tracking stage with no semantic change (the
+                          # reference's own temporal budget is 100)
 
 
 class TrackState(NamedTuple):
@@ -89,7 +95,26 @@ def motion_model_step(state: TrackState, cur_frame: FrameState,
     th_far = config.tracking.th_depth * cam.baseline_m
     p_w, usable = _last_frame_world_points(state, th_far)
 
-    feats_last = state.last_frame.features
+    feats_full = state.last_frame.features
+
+    # Compact the source side to the SRC_BUDGET closest usable points: all
+    # downstream [S, K] gates/DIST matrices shrink by the same factor.
+    src = jnp.argsort(jnp.where(usable, feats_full.depth, jnp.inf))[:SRC_BUDGET]
+    p_w = jnp.take(p_w, src, axis=0)
+    usable = jnp.take(usable, src)
+
+    class _Src(NamedTuple):
+        desc: jnp.ndarray
+        octave: jnp.ndarray
+        angle: jnp.ndarray
+        depth: jnp.ndarray
+
+    feats_last = _Src(
+        desc=jnp.take(feats_full.desc, src, axis=0),
+        octave=jnp.take(feats_full.octave, src),
+        angle=jnp.take(feats_full.angle, src),
+        depth=jnp.take(feats_full.depth, src),
+    )
     z_motion = state.velocity[2, 3]
 
     from ..ops.hamming import hamming_matrix

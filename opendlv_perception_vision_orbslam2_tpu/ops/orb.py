@@ -179,14 +179,14 @@ def build_patch_atlas(levels, half: int = PATCH_HALF):
 
 
 def _use_pallas_gather() -> bool:
+    # Default is the XLA slice gather: after the atlas restructure it is
+    # within noise of the Pallas kernel in-pipeline, and the Pallas kernel
+    # holds the whole image in VMEM — at the full 8-level x 2-eye atlas
+    # (~28 MB f32) that exceeds the 16 MB scoped-VMEM limit and fails to
+    # compile.  ORBSLAM2_TPU_PATCH_GATHER=pallas opts in for images that fit.
     import os
 
-    mode = os.environ.get("ORBSLAM2_TPU_PATCH_GATHER", "auto")
-    if mode == "pallas":
-        return True
-    if mode == "xla":
-        return False
-    return jax.default_backend() != "cpu"
+    return os.environ.get("ORBSLAM2_TPU_PATCH_GATHER", "xla") == "pallas"
 
 
 def gather_atlas_windows(atlas, y0, x0, ph: int, pw: int | None = None):

@@ -57,35 +57,39 @@ def main():
         )(both)
         return tuple(l[0] for l in lv), tuple(l[1] for l in lv)
 
+    def levels_lr(both):
+        return jax.vmap(
+            lambda im: image_ops.build_pyramid(im, ocfg.n_levels, ocfg.scale_factor)
+        )(both)
+
     def select(both):
-        ll, lr = pyramids(both)
-        return (extractor._select_pyramid_keypoints(ll, ocfg),
-                extractor._select_pyramid_keypoints(lr, ocfg), ll, lr)
+        lv = levels_lr(both)
+        return extractor._select_pyramid_keypoints(lv, ocfg), lv
 
     def gather(both):
-        sel_l, sel_r, ll, lr = select(both)
-        al, _ = orb_ops.build_patch_atlas(ll)
-        ar, _ = orb_ops.build_patch_atlas(lr)
+        sel, lv = select(both)
+        al, _ = orb_ops.build_patch_atlas([l[0] for l in lv])
+        ar, _ = orb_ops.build_patch_atlas([l[1] for l in lv])
         atlas = jnp.concatenate([al, ar], axis=0)
-        y0 = jnp.concatenate([sel_l[4], sel_r[4] + al.shape[0]])
-        x0 = jnp.concatenate([sel_l[5], sel_r[5]])
+        y0 = jnp.concatenate([sel[4][0], sel[4][1] + al.shape[0]])
+        x0 = jnp.concatenate([sel[5][0], sel[5][1]])
         p = orb_ops.gather_atlas_windows(
             atlas, y0, x0, orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE)
-        return p, sel_l, sel_r, ll, lr
+        return p, sel, lv
 
     def describe(both):
-        p, sel_l, sel_r, ll, lr = gather(both)
+        p, sel, lv = gather(both)
         ang = orb_ops.ic_angles_from_patches(p)
-        return orb_ops.brief_from_patches(p, ang), ang, sel_l, sel_r, ll, lr
+        return orb_ops.brief_from_patches(p, ang), ang, sel, lv
 
     def extract(both):
-        ll, lr = pyramids(both)
-        return extractor.extract_from_pyramid_pair(ll, lr, ocfg), ll, lr
+        lv = levels_lr(both)
+        return extractor.extract_from_pyramid_pair(lv, ocfg), lv
 
     def stereo(both):
-        (fl, fr), ll, lr = extract(both)
-        al, offs = stereo_ops.build_atlas(list(ll))
-        ar, _ = stereo_ops.build_atlas(list(lr))
+        (fl, fr), lv = extract(both)
+        al, offs = stereo_ops.build_atlas([l[0] for l in lv])
+        ar, _ = stereo_ops.build_atlas([l[1] for l in lv])
         return stereo_ops.stereo_match(
             fl, fr, al, ar, offs, ocfg.scale_factor, cfg.camera.fx, cfg.camera.bf)
 
