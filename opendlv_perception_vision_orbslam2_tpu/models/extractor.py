@@ -28,6 +28,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import fast as fast_ops
 from ..ops import image as image_ops
@@ -137,12 +138,11 @@ def _select_pyramid_keypoints(levels: Sequence, config: OrbConfig):
     ``levels``: list of ``[B, H_l, W_l]`` stacked level images.  Returns
     per-level-concatenated ``(xy level-coords [B, N, 2], response [B, N],
     octave [B, N], valid [B, N], y0 [B, N], x0 [B, N])`` where ``(y0, x0)``
-    are patch top-left corners into the :func:`..ops.orb.build_patch_atlas`
-    layout for one eye's levels (callers add per-eye atlas offsets).
+    are *level-local* patch-centre pixel coords (integer, border-clipped);
+    :func:`_gather_all_patches` maps them into its gather layout.
     """
     budgets = per_level_budgets(config.n_features, config.scale_factor, config.n_levels)
 
-    row = 0
     xs, resps, octs, valids, y0s, x0s = [], [], [], [], [], []
     for lvl, (level_img, budget) in enumerate(zip(levels, budgets)):
         B, H, W = level_img.shape
@@ -156,9 +156,8 @@ def _select_pyramid_keypoints(levels: Sequence, config: OrbConfig):
             return _select_level_keypoints(scores, strong, budget, config.cell_size)
 
         xy, response, valid = jax.vmap(sel_one)(level_img)
-        y0s.append(jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, H - 1) + row)
+        y0s.append(jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, H - 1))
         x0s.append(jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, W - 1))
-        row += H + 2 * orb_ops.PATCH_HALF
         xs.append(xy)
         resps.append(response)
         octs.append(jnp.full((B, budget), lvl, jnp.int32))
@@ -172,6 +171,54 @@ def _select_pyramid_keypoints(levels: Sequence, config: OrbConfig):
         jnp.concatenate(y0s, axis=1),
         jnp.concatenate(x0s, axis=1),
     )
+
+
+def _gather_all_patches(levels: Sequence, y0, x0, config: OrbConfig):
+    """One 45x45 raw patch per keypoint for every eye and level.
+
+    ``levels``: list of ``[B, H_l, W_l]``; ``y0/x0 [B, N]`` level-local
+    centre pixels from :func:`_select_pyramid_keypoints`.  Returns
+    ``[B*N, side, side]`` patches ordered eye-major (eye 0's levels, then
+    eye 1's).
+
+    Two implementations (bit-identical, see ops/gather_pallas.py):
+    - "pallas": one VMEM-resident aligned-load kernel call per (eye, level)
+      — 4.8x faster than the XLA gather at the bench operating point;
+    - "xla": all levels stack into one edge-padded atlas, one
+      vmap(dynamic_slice) slice gather (CPU default).
+
+    Patch centre c maps to top-left c - half + half = c in the half-padded
+    image, so the padded-image start IS the centre coordinate.
+    """
+    side = orb_ops.PATCH_SIDE
+    half = orb_ops.PATCH_HALF
+    B = levels[0].shape[0]
+    budgets = per_level_budgets(config.n_features, config.scale_factor,
+                                config.n_levels)
+
+    if orb_ops.patch_gather_mode() == "pallas":
+        from ..ops.gather_pallas import gather_patches
+
+        outs = []
+        for e in range(B):
+            off = 0
+            for lv, b in zip(levels, budgets):
+                img = jnp.pad(lv[e], half, mode="edge")
+                outs.append(gather_patches(
+                    img, y0[e, off:off + b], x0[e, off:off + b],
+                    ph=side, pw=side,
+                ))
+                off += b
+        return jnp.concatenate(outs, axis=0)
+
+    atlases = [orb_ops.build_patch_atlas([lv[e] for lv in levels])
+               for e in range(B)]
+    atlas = jnp.concatenate([a for a, _ in atlases], axis=0)
+    lvl_off = jnp.asarray(np.repeat(atlases[0][1], budgets))      # [N]
+    eye_rows = atlases[0][0].shape[0]
+    ys = jnp.concatenate([y0[e] + lvl_off + e * eye_rows for e in range(B)])
+    xs = jnp.concatenate([x0[e] for e in range(B)])
+    return orb_ops.gather_atlas_windows(atlas, ys, xs, side, side)
 
 
 def _to_features(config, xy_lvl, response, octave, angle, desc, valid) -> Features:
@@ -215,10 +262,7 @@ def extract_from_pyramid(levels: Sequence, config: OrbConfig) -> Features:
     xy, response, octave, valid, y0, x0 = _select_pyramid_keypoints(
         stacked, config
     )
-    atlas, _ = orb_ops.build_patch_atlas(levels)
-    patches = orb_ops.gather_atlas_windows(
-        atlas, y0[0], x0[0], orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE
-    )
+    patches = _gather_all_patches(stacked, y0, x0, config)
     angle = orb_ops.ic_angles_from_patches(patches)
     desc = orb_ops.brief_from_patches(patches, angle)
     return _to_features(config, xy[0], response[0], octave[0], angle, desc,
@@ -237,17 +281,8 @@ def extract_from_pyramid_pair(levels_lr: Sequence, config: OrbConfig):
     xy, response, octave, valid, y0, x0 = _select_pyramid_keypoints(
         levels_lr, config
     )
-
-    atlas_l, _ = orb_ops.build_patch_atlas([lv[0] for lv in levels_lr])
-    atlas_r, _ = orb_ops.build_patch_atlas([lv[1] for lv in levels_lr])
-    atlas = jnp.concatenate([atlas_l, atlas_r], axis=0)
-
     n = xy.shape[1]
-    y0_flat = jnp.concatenate([y0[0], y0[1] + atlas_l.shape[0]])
-    x0_flat = jnp.concatenate([x0[0], x0[1]])
-    patches = orb_ops.gather_atlas_windows(
-        atlas, y0_flat, x0_flat, orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE
-    )
+    patches = _gather_all_patches(levels_lr, y0, x0, config)
     angle = orb_ops.ic_angles_from_patches(patches)
     desc = orb_ops.brief_from_patches(patches, angle)
 

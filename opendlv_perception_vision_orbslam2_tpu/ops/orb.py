@@ -178,28 +178,33 @@ def build_patch_atlas(levels, half: int = PATCH_HALF):
     return jnp.concatenate(padded, axis=0), np.asarray(offsets, np.int32)
 
 
-def _use_pallas_gather() -> bool:
-    # Default is the XLA slice gather: after the atlas restructure it is
-    # within noise of the Pallas kernel in-pipeline, and the Pallas kernel
-    # holds the whole image in VMEM — at the full 8-level x 2-eye atlas
-    # (~28 MB f32) that exceeds the 16 MB scoped-VMEM limit and fails to
-    # compile.  ORBSLAM2_TPU_PATCH_GATHER=pallas opts in for images that fit.
+def patch_gather_mode() -> str:
+    """"pallas" (per-level VMEM kernel) or "xla" (atlas slice gather).
+
+    The Pallas kernel holds one *level image* in VMEM per call (2.4 MB at
+    KITTI level 0 — the full stacked atlas would blow the 16 MB scoped-VMEM
+    limit) and measured 4.8x faster than the XLA gather at the bench point
+    (1.28 vs 6.08 ms for 2 eyes x 2000 patches).  Auto: Pallas on TPU, XLA
+    on CPU (Mosaic only interprets there).  Env override:
+    ``ORBSLAM2_TPU_PATCH_GATHER=pallas|xla``.
+    """
     import os
 
-    return os.environ.get("ORBSLAM2_TPU_PATCH_GATHER", "xla") == "pallas"
+    mode = os.environ.get("ORBSLAM2_TPU_PATCH_GATHER", "auto")
+    if mode == "auto":
+        return "pallas" if jax.default_backend() != "cpu" else "xla"
+    return mode
+
+
+def _use_pallas_gather() -> bool:
+    return patch_gather_mode() == "pallas"
 
 
 def gather_atlas_windows(atlas, y0, x0, ph: int, pw: int | None = None):
-    """``[N]`` top-left corners -> ``[N, ph, pw]`` windows of ``atlas``.
-
-    Pallas aligned-load kernel on TPU; vmap(dynamic_slice) slice gathers on
-    CPU (where Mosaic only interprets).  Bit-identical outputs either way.
-    """
+    """``[N]`` top-left corners -> ``[N, ph, pw]`` windows of ``atlas`` via
+    vmap(dynamic_slice) slice gathers (the XLA path; the Pallas kernel runs
+    per level image instead — see models/extractor._gather_all_patches)."""
     pw = ph if pw is None else pw
-    if _use_pallas_gather():
-        from .gather_pallas import gather_patches
-
-        return gather_patches(atlas, y0, x0, ph=ph, pw=pw)
     H, W = atlas.shape
     y0 = jnp.clip(y0, 0, H - ph)
     x0 = jnp.clip(x0, 0, W - pw)

@@ -68,17 +68,12 @@ def main():
 
     def gather(both):
         sel, lv = select(both)
-        al, _ = orb_ops.build_patch_atlas([l[0] for l in lv])
-        ar, _ = orb_ops.build_patch_atlas([l[1] for l in lv])
-        atlas = jnp.concatenate([al, ar], axis=0)
-        y0 = jnp.concatenate([sel[4][0], sel[4][1] + al.shape[0]])
-        x0 = jnp.concatenate([sel[5][0], sel[5][1]])
-        p = orb_ops.gather_atlas_windows(
-            atlas, y0, x0, orb_ops.PATCH_SIDE, orb_ops.PATCH_SIDE)
-        return p, sel, lv
+        p = extractor._gather_all_patches(lv, sel[4], sel[5], ocfg)
+        return jnp.sum(p), sel, lv
 
     def describe(both):
-        p, sel, lv = gather(both)
+        sel, lv = select(both)
+        p = extractor._gather_all_patches(lv, sel[4], sel[5], ocfg)
         ang = orb_ops.ic_angles_from_patches(p)
         return orb_ops.brief_from_patches(p, ang), ang, sel, lv
 

@@ -59,11 +59,13 @@ def main():
     budgets = extractor.per_level_budgets(
         ocfg.n_features, ocfg.scale_factor, ocfg.n_levels)
 
+    # NOTE: y0/x0 are level-local centre coords (see extractor).
     def atlas_and_starts(lv, y0, x0):
-        al, _ = orb_ops.build_patch_atlas([l[0] for l in lv])
+        al, offs = orb_ops.build_patch_atlas([l[0] for l in lv])
         ar, _ = orb_ops.build_patch_atlas([l[1] for l in lv])
         atlas = jnp.concatenate([al, ar], axis=0)
-        yf = jnp.concatenate([y0[0], y0[1] + al.shape[0]])
+        lvl_off = jnp.asarray(np.repeat(offs, budgets))
+        yf = jnp.concatenate([y0[0] + lvl_off, y0[1] + lvl_off + al.shape[0]])
         xf = jnp.concatenate([x0[0], x0[1]])
         return atlas, yf, xf
 
@@ -83,9 +85,7 @@ def main():
             off = 0
             for l, b in enumerate(budgets):
                 img = jnp.pad(lv[l][e], orb_ops.PATCH_HALF, mode="edge")
-                ys = y0[e, off:off + b] - (0 if l == 0 else
-                                           sum(lvv.shape[1] + 2 * orb_ops.PATCH_HALF
-                                               for lvv in lv[:l]))
+                ys = y0[e, off:off + b]
                 xs = x0[e, off:off + b]
                 outs.append(gather_patches(img, ys, xs, ph=S, pw=S))
                 off += b
