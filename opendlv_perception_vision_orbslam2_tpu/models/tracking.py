@@ -51,28 +51,39 @@ class TrackState(NamedTuple):
     n_inliers: jnp.ndarray   # [] int32 (diagnostics / lost detection)
 
 
-def _last_frame_world_points(state: TrackState, th_far: float):
-    """World coords + usability mask of the last frame's depth points.
+def _compact_sources(state: TrackState, th_far: float):
+    """The SRC_BUDGET closest last-frame depth points, world coords + masks.
 
     Mirrors UpdateLastFrame's temporal-point selection (reference:
-    src/tracking.cpp:631-694): take close points (depth < thDepth*baseline)
-    and pad with the nearest remaining ones up to MAX_VO_POINTS.
+    src/tracking.cpp:631-694): usable = close points (depth <
+    thDepth*baseline) plus the nearest remaining ones up to MAX_VO_POINTS.
+    One depth argsort yields the compaction order AND both selection rules
+    (sorted-by-depth position < MAX_VO_POINTS == the reference's nearest-N
+    rule; close points are a prefix of the same order).
+
+    Returns ``(src_idx [S], p_w [S,3], usable [S], desc/octave/angle/depth)``.
     """
     feats = state.last_frame.features
     depth = feats.depth
     has_depth = (depth > 0) & feats.valid
-    T_wc = lie.inv_T(state.last_frame.T_cw)
-    p_w = lie.transform_points(T_wc[None], state.last_frame.point_cam[None])[0]
+    order = jnp.argsort(jnp.where(has_depth, depth, jnp.inf))
+    src = order[:SRC_BUDGET]
 
-    close = has_depth & (depth < th_far)
-    # rank by depth among valid-depth slots; keep the MAX_VO_POINTS nearest
-    rank_key = jnp.where(has_depth, depth, jnp.inf)
-    order = jnp.argsort(rank_key)
-    rank = jnp.zeros_like(feats.octave).at[order].set(
-        jnp.arange(depth.shape[0], dtype=jnp.int32)
+    d_s = jnp.take(depth, src)
+    hd_s = jnp.take(has_depth, src)
+    pos = jnp.arange(src.shape[0])  # == min(SRC_BUDGET, capacity)
+    usable = hd_s & ((d_s < th_far) | (pos < MAX_VO_POINTS))
+
+    T_wc = lie.inv_T(state.last_frame.T_cw)
+    p_cam = jnp.take(state.last_frame.point_cam, src, axis=0)
+    p_w = lie.transform_points(T_wc[None], p_cam[None])[0]
+    return (
+        src, p_w, usable,
+        jnp.take(feats.desc, src, axis=0),
+        jnp.take(feats.octave, src),
+        jnp.take(feats.angle, src),
+        d_s,
     )
-    near = has_depth & (rank < MAX_VO_POINTS)
-    return p_w, close | near
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -93,15 +104,6 @@ def motion_model_step(state: TrackState, cur_frame: FrameState,
     T_pred = state.velocity @ state.T_cw
 
     th_far = config.tracking.th_depth * cam.baseline_m
-    p_w, usable = _last_frame_world_points(state, th_far)
-
-    feats_full = state.last_frame.features
-
-    # Compact the source side to the SRC_BUDGET closest usable points: all
-    # downstream [S, K] gates/DIST matrices shrink by the same factor.
-    src = jnp.argsort(jnp.where(usable, feats_full.depth, jnp.inf))[:SRC_BUDGET]
-    p_w = jnp.take(p_w, src, axis=0)
-    usable = jnp.take(usable, src)
 
     class _Src(NamedTuple):
         desc: jnp.ndarray
@@ -109,12 +111,8 @@ def motion_model_step(state: TrackState, cur_frame: FrameState,
         angle: jnp.ndarray
         depth: jnp.ndarray
 
-    feats_last = _Src(
-        desc=jnp.take(feats_full.desc, src, axis=0),
-        octave=jnp.take(feats_full.octave, src),
-        angle=jnp.take(feats_full.angle, src),
-        depth=jnp.take(feats_full.depth, src),
-    )
+    _, p_w, usable, desc_s, oct_s, ang_s, d_s = _compact_sources(state, th_far)
+    feats_last = _Src(desc=desc_s, octave=oct_s, angle=ang_s, depth=d_s)
     z_motion = state.velocity[2, 3]
 
     from ..ops.hamming import hamming_matrix

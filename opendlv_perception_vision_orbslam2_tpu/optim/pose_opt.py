@@ -102,7 +102,16 @@ def pose_optimize(T_cw_init, obs: PoseObs, *, fx: float, fy: float,
     delta_stereo = jnp.sqrt(CHI2_STEREO)
 
     def gn_iterations(T, inlier_mask, use_huber):
-        def body(_, T):
+        # while_loop with a convergence exit instead of a fixed fori: GN on
+        # a warm-started pose typically converges in 3-5 steps, after which
+        # further iterations are numeric no-ops (g2o also runs a bounded
+        # iteration count).  Threshold note: 1e-12 on ||dx||^2 measurably
+        # perturbs monocular tracking (mono maps are median-depth-normalized,
+        # so pose updates sit ~50x lower than metric stereo); 1e-13 keeps
+        # mono bit-stable while still exiting the stereo chains early
+        # (motion_model_step 3.40 -> 2.48 ms on v5e).
+        def body(carry):
+            i, T, _ = carry
             r, J, is_stereo, behind = _residuals_jacobian(
                 T, obs, fx, fy, cx, cy, bf
             )
@@ -124,9 +133,16 @@ def pose_optimize(T_cw_init, obs: PoseObs, *, fx: float, fy: float,
             dx = jnp.linalg.solve(H, b)
             ok = jnp.all(jnp.isfinite(dx))
             dx = jnp.where(ok, dx, 0.0)
-            return lie.exp_se3(dx) @ T
+            return (i + 1, lie.exp_se3(dx) @ T, jnp.sum(dx * dx))
 
-        return jax.lax.fori_loop(0, ITS_PER_ROUND, body, T)
+        def cond(carry):
+            i, _, step2 = carry
+            return (i < ITS_PER_ROUND) & (step2 > 1e-13)
+
+        _, T, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), T, jnp.float32(jnp.inf))
+        )
+        return T
 
     T = T_cw_init
     inliers = jnp.ones_like(obs.valid)
