@@ -148,11 +148,22 @@ def _select_pyramid_keypoints(levels: Sequence, config: OrbConfig):
         B, H, W = level_img.shape
 
         def sel_one(img, budget=budget):
-            scores, strong = fast_ops.fast_with_fallback(
-                img, float(config.ini_th_fast), float(config.min_th_fast)
-            )
-            scores = fast_ops.nms_scores(scores)
-            scores = fast_ops.mask_border(scores, EDGE_BORDER)
+            if orb_ops.patch_gather_mode() == "pallas":
+                # Fused VMEM kernel (ops/fast_pallas.py). "strong" is only
+                # consulted at NMS survivors, where the post-NMS score equals
+                # the pre-NMS score — so thresholding the NMS'd map gives a
+                # bit-identical selection to the XLA chain below.
+                from ..ops.fast_pallas import fast_nms
+
+                nmsed = fast_nms(img, float(config.min_th_fast))
+                strong = nmsed > float(config.ini_th_fast)
+                scores = fast_ops.mask_border(nmsed, EDGE_BORDER)
+            else:
+                scores, strong = fast_ops.fast_with_fallback(
+                    img, float(config.ini_th_fast), float(config.min_th_fast)
+                )
+                scores = fast_ops.nms_scores(scores)
+                scores = fast_ops.mask_border(scores, EDGE_BORDER)
             return _select_level_keypoints(scores, strong, budget, config.cell_size)
 
         xy, response, valid = jax.vmap(sel_one)(level_img)
