@@ -296,12 +296,22 @@ def _binned_sample_indices():
 
 
 @functools.lru_cache(maxsize=None)
-def _binned_onehots():
-    """[30, 1521, 512] int8 one-hot sampling matrices (bf16-cast at trace)."""
+def _binned_diff_mats():
+    """[30, 1521, 256] int8 difference matrices (bf16-cast at trace).
+
+    Column j of bin b is ``e_{idx_b[j]} - e_{idx_a[j]}``, so
+    ``flat @ D[b]`` yields ``v_b - v_a`` for all 256 pairs in one matmul —
+    half the width (and MXU FLOPs) of sampling both endpoints with one-hots
+    and comparing.  The sign of the product is exactly the BRIEF bit
+    ``v_a < v_b`` (a coincident pair gives a zero column -> 0 -> bit 0,
+    matching ``v_a < v_a`` = False).
+    """
     idx = _binned_sample_indices()
-    out = np.zeros((N_ANGLE_BINS, BRIEF_SIDE * BRIEF_SIDE, 2 * N_BITS), np.int8)
+    out = np.zeros((N_ANGLE_BINS, BRIEF_SIDE * BRIEF_SIDE, N_BITS), np.int8)
+    cols = np.arange(N_BITS)
     for b in range(N_ANGLE_BINS):
-        out[b, idx[b], np.arange(2 * N_BITS)] = 1
+        np.add.at(out[b], (idx[b, N_BITS:], cols), 1)
+        np.add.at(out[b], (idx[b, :N_BITS], cols), -1)
     return out
 
 
@@ -312,12 +322,14 @@ def _pack256(bits):
     return jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
-def brief_from_patches(patches, angles):
+def brief_from_patches(patches, angles, use_matmul: bool | None = None):
     """Steered binned BRIEF from raw patches ``[N, 45, 45]``.
 
-    Per-patch blur (two batched matmuls) + per-bin one-hot MXU sampling on
-    TPU; on CPU backends the same binned indices sample via take_along_axis
-    (faster there, bit-identical semantics).
+    Per-patch blur (two batched matmuls) + per-bin +/-1 difference-matrix
+    MXU sampling on TPU (one [N, 1521] @ [1521, 256] per bin yields
+    ``v_b - v_a`` directly); on CPU backends the same binned indices sample
+    via take_along_axis (faster there, bit-identical semantics).
+    ``use_matmul`` forces a branch (for cross-checking in tests).
     """
     n = patches.shape[0]
     bm = jnp.asarray(_patch_blur_matrix())
@@ -328,21 +340,24 @@ def brief_from_patches(patches, angles):
         (angles + jnp.pi) / (2.0 * jnp.pi) * N_ANGLE_BINS
     ).astype(jnp.int32) % N_ANGLE_BINS
 
-    if jax.default_backend() == "cpu":
+    if use_matmul is None:
+        use_matmul = jax.default_backend() != "cpu"
+    if not use_matmul:
         idx = jnp.asarray(_binned_sample_indices())[bin_]     # [N, 512]
         vals = jnp.take_along_axis(flat, idx, axis=1)
-    else:
-        oh = jnp.asarray(_binned_onehots()).astype(jnp.bfloat16)
-        fb = flat.astype(jnp.bfloat16)
-        vals = jnp.zeros((n, 2 * N_BITS), jnp.float32)
-        for b in range(N_ANGLE_BINS):
-            sel = (bin_ == b).astype(jnp.bfloat16)[:, None]
-            vals += jax.lax.dot_general(
-                fb * sel, oh[b],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    return _pack256(vals[:, :N_BITS] < vals[:, N_BITS:])
+        return _pack256(vals[:, :N_BITS] < vals[:, N_BITS:])
+
+    dm = jnp.asarray(_binned_diff_mats()).astype(jnp.bfloat16)
+    fb = flat.astype(jnp.bfloat16)
+    diff = jnp.zeros((n, N_BITS), jnp.float32)
+    for b in range(N_ANGLE_BINS):
+        sel = (bin_ == b).astype(jnp.bfloat16)[:, None]
+        diff += jax.lax.dot_general(
+            fb * sel, dm[b],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return _pack256(diff > 0)
 
 
 def descriptor_mean(descs, valid):
