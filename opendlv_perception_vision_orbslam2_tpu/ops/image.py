@@ -64,18 +64,40 @@ def pyramid_shapes(height: int, width: int, n_levels: int, scale_factor: float):
     return shapes
 
 
-def build_pyramid(img, n_levels: int, scale_factor: float):
-    """List of per-level float32 images; level l is resized from level l-1
-    (same accumulation as reference: src/orbextractor.cpp:654-678).
+@functools.lru_cache(maxsize=None)
+def _pyramid_matrices(height: int, width: int, n_levels: int,
+                      scale_factor: float):
+    """Per-level precomposed interpolation matrices ``(Mh [H_l, H], Mw [W_l, W])``.
 
-    Uses the MXU banded-matmul resize (ops/resample.py) — plain INTER_LINEAR
-    weights like the reference's cv::resize, no antialias prefilter."""
+    Level l of the reference pyramid is a *chain* of bilinear resizes
+    (level l from level l-1, reference: src/orbextractor.cpp:654-678).  Each
+    resize is linear, so the chain composes on the host (float64) into one
+    pair of matrices per level: ``level_l = Mh_l @ img @ Mw_l^T``.  This
+    turns the 2*(n_levels-1) serially-dependent device matmuls into
+    independent pairs that all read level 0 — XLA overlaps them freely —
+    while matching the chained accumulation up to f32 rounding."""
     from . import resample
-    h, w = img.shape
-    shapes = pyramid_shapes(h, w, n_levels, scale_factor)
-    levels = [img.astype(jnp.float32)]
+    shapes = pyramid_shapes(height, width, n_levels, scale_factor)
+    mh = np.eye(height, dtype=np.float64)
+    mw = np.eye(width, dtype=np.float64)
+    out = []
     for lvl in range(1, n_levels):
-        levels.append(resample.resize_bilinear(levels[-1], shapes[lvl]))
+        (h2, w2), (h1, w1) = shapes[lvl], shapes[lvl - 1]
+        mh = resample._interp_matrix(h2, h1).astype(np.float64) @ mh
+        mw = resample._interp_matrix(w2, w1).astype(np.float64) @ mw
+        out.append((mh.astype(np.float32), mw.astype(np.float32)))
+    return out
+
+
+def build_pyramid(img, n_levels: int, scale_factor: float):
+    """List of per-level float32 images matching the reference's chained
+    per-level resize (reference: src/orbextractor.cpp:654-678), computed as
+    one precomposed MXU matmul pair per level (see _pyramid_matrices)."""
+    h, w = img.shape
+    x = img.astype(jnp.float32)
+    levels = [x]
+    for mh, mw in _pyramid_matrices(h, w, n_levels, scale_factor):
+        levels.append(jnp.asarray(mh) @ (x @ jnp.asarray(mw).T))
     return levels
 
 
