@@ -274,6 +274,9 @@ def extract_from_pyramid(levels: Sequence, config: OrbConfig) -> Features:
         stacked, config
     )
     patches = _gather_all_patches(stacked, y0, x0, config)
+    xy = xy + fast_ops.subpixel_peak_from_patches(
+        patches, orb_ops.PATCH_HALF
+    )[None]
     angle = orb_ops.ic_angles_from_patches(patches)
     desc = orb_ops.brief_from_patches(patches, angle)
     return _to_features(config, xy[0], response[0], octave[0], angle, desc,
@@ -294,6 +297,9 @@ def extract_from_pyramid_pair(levels_lr: Sequence, config: OrbConfig):
     )
     n = xy.shape[1]
     patches = _gather_all_patches(levels_lr, y0, x0, config)
+    xy = xy + fast_ops.subpixel_peak_from_patches(
+        patches, orb_ops.PATCH_HALF
+    ).reshape(xy.shape)
     angle = orb_ops.ic_angles_from_patches(patches)
     desc = orb_ops.brief_from_patches(patches, angle)
 

@@ -135,6 +135,62 @@ def _decompose_E(E):
     return jnp.stack([R1, R1, R2, R2]), jnp.stack([t, -t, t, -t])
 
 
+def decompose_homography(H, K):
+    """Full 8-motion Faugeras decomposition of a pixel-space homography.
+
+    Returns ``(R [8, 3, 3], t [8, 3])`` — the complete solution set of
+    ReconstructH (reference: src/orbinitializer.cpp:573-730): 4 sign cases of
+    (x1, x3) for each of the two singular-value branches d' = d2 (rotation by
+    theta) and d' = -d2 (rotation by phi with a reflection).  t is normalized
+    to unit length, matching the reference's ``t/||t||`` convention.
+    """
+    A = jnp.linalg.inv(K) @ H @ K
+    Ua, sa, Vta = jnp.linalg.svd(A)
+    d1, d2, d3 = sa[0], sa[1], sa[2]
+    s_det = jnp.linalg.det(Ua) * jnp.linalg.det(Vta)
+    # x1/x3 terms (reference: :600-607)
+    aux1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / jnp.maximum(d1 * d1 - d3 * d3, 1e-12), 0.0))
+    aux3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / jnp.maximum(d1 * d1 - d3 * d3, 1e-12), 0.0))
+    x1s = jnp.array([1.0, 1.0, -1.0, -1.0]) * aux1
+    x3s = jnp.array([1.0, -1.0, 1.0, -1.0]) * aux3
+    # branch 1: d' = d2 (rotation about y by theta, reference: :609-650)
+    sin_t = jnp.sqrt(jnp.maximum(
+        (d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) / jnp.maximum(
+        (d1 + d3) * d2, 1e-12)
+    cos_t = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    sins = jnp.array([1.0, -1.0, -1.0, 1.0]) * sin_t
+
+    def h_motion(x1, x3, st):
+        Rp = jnp.array(
+            [[cos_t, 0.0, -st], [0.0, 1.0, 0.0], [st, 0.0, cos_t]]
+        )
+        R = s_det * Ua @ Rp @ Vta
+        tp = jnp.array([x1, 0.0, -x3]) * (d1 - d3)
+        t = Ua @ tp
+        return R, t / (jnp.linalg.norm(t) + 1e-12)
+
+    # branch 2: d' = -d2 (rotation by phi with a reflection,
+    # reference: :652-718)
+    sin_p = jnp.sqrt(jnp.maximum(
+        (d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) / jnp.maximum(
+        (d1 - d3) * d2, 1e-12)
+    cos_p = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    sins_p = jnp.array([1.0, -1.0, -1.0, 1.0]) * sin_p
+
+    def h_motion2(x1, x3, sp):
+        Rp = jnp.array(
+            [[cos_p, 0.0, sp], [0.0, -1.0, 0.0], [sp, 0.0, -cos_p]]
+        )
+        R = s_det * Ua @ Rp @ Vta
+        tp = jnp.array([x1, 0.0, x3]) * (d1 + d3)
+        t = Ua @ tp
+        return R, t / (jnp.linalg.norm(t) + 1e-12)
+
+    R_h1, t_h1 = jax.vmap(h_motion)(x1s, x3s, sins)
+    R_h2, t_h2 = jax.vmap(h_motion2)(x1s, x3s, sins_p)
+    return jnp.concatenate([R_h1, R_h2]), jnp.concatenate([t_h1, t_h2])
+
+
 def _check_motion(R, t, p1, p2, valid, K, th2=4.0 * SIGMA * SIGMA):
     """Triangulate all matches under (R, t); count cheirality+reprojection
     inliers and measure parallax (reference: CheckRT :795-904)."""
@@ -160,12 +216,22 @@ def _check_motion(R, t, p1, p2, valid, K, th2=4.0 * SIGMA * SIGMA):
     cosp = jnp.sum(r1 * r2, axis=1) / (
         jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1) + 1e-12
     )
-    good = valid & (z1 > 0) & (z2 > 0) & (e1 <= th2) & (e2 <= th2) & (cosp < 0.99998)
-    n_good = jnp.sum(good)
-    # median-ish parallax of good points: use the 50th best cos
-    cosp_good = jnp.where(good, cosp, 1.0)
-    parallax_cos = jnp.sort(cosp_good)[jnp.minimum(50, n_good - 1).astype(jnp.int32)]
-    return n_good, good, X, parallax_cos
+    # Cheirality is only meaningful where parallax is measurable: the
+    # reference rejects z<=0 ONLY when cosParallax < 0.99998 (CheckRT,
+    # reference: src/orbinitializer.cpp:848-858) — far low-parallax points
+    # still count toward nGood if they reproject well.  Gating them on
+    # cheirality too (as a naive port would) starves the correct motion of
+    # inliers on far-heavy scenes while wrong motions win on fake parallax.
+    low_plx = cosp >= 0.99998
+    cheir_ok = ((z1 > 0) | low_plx) & ((z2 > 0) | low_plx)
+    passing = valid & cheir_ok & (e1 <= th2) & (e2 <= th2)
+    n_good = jnp.sum(passing)
+    # only real-parallax points become map points (reference: vbGood is set
+    # under cosParallax<0.99998, :895-899)
+    point_ok = passing & ~low_plx & (z1 > 0) & (z2 > 0)
+    cosp_pass = jnp.where(passing, cosp, 1.0)
+    parallax_cos = jnp.sort(cosp_pass)[jnp.minimum(50, n_good - 1).astype(jnp.int32)]
+    return n_good, point_ok, X, parallax_cos
 
 
 class InitResult(NamedTuple):
@@ -176,10 +242,18 @@ class InitResult(NamedTuple):
     used_homography: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
+                                              "min_triangulated"))
 def initialize_two_view(xy1, xy2, valid, key, *, fx: float, fy: float,
-                        cx: float, cy: float) -> InitResult:
-    """Full monocular bootstrap from matched keypoints of two frames."""
+                        cx: float, cy: float,
+                        min_triangulated: int = 50) -> InitResult:
+    """Full monocular bootstrap from matched keypoints of two frames.
+
+    ``min_triangulated`` is the reference's minTriangulated=50 floor
+    (ReconstructF/H, reference: src/orbinitializer.cpp:468-571, 700-730),
+    exposed because it implicitly assumes the reference's 2000-feature
+    budget; callers running smaller budgets scale it down.
+    """
     K = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
     N = xy1.shape[0]
 
@@ -236,67 +310,57 @@ def initialize_two_view(xy1, xy2, valid, key, *, fx: float, fy: float,
     f_inliers = jnp.where(better_f, f_inl2, f_inliers)
     use_H = SH / jnp.maximum(SH + SF, 1e-9) > 0.40   # reference: :114-120
 
-    # candidate motions: E from F (4), H Faugeras reduced to the same
-    # machinery by converting H to E-like motions via the calibrated
-    # homography decomposition.  We evaluate 8 candidates for H via the
-    # SVD-based Faugeras solutions and 4 for F; both paths share CheckRT.
+    # Candidate motions: 4 from E (DecomposeE, reference: :906-930) and the
+    # full 8 Faugeras solutions of the calibrated homography (ReconstructH,
+    # reference: :573-730 — both the d'=d2 and d'=-d2 branches).  Both model
+    # paths are evaluated against their own inlier sets and the winner is
+    # selected by the RH rule, each with the reference's own acceptance gate.
     E = K.T @ F_best @ K
     R_f, t_f = _decompose_E(E)
+    R_h, t_h = decompose_homography(H_best, K)
 
-    # Faugeras decomposition of calibrated homography A = K^-1 H K
-    A = jnp.linalg.inv(K) @ H_best @ K
-    Ua, sa, Vta = jnp.linalg.svd(A)
-    d1, d2, d3 = sa[0], sa[1], sa[2]
-    s_det = jnp.linalg.det(Ua) * jnp.linalg.det(Vta)
-    # x1/x3 terms (reference: ReconstructH :573-730)
-    aux1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / jnp.maximum(d1 * d1 - d3 * d3, 1e-12), 0.0))
-    aux3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / jnp.maximum(d1 * d1 - d3 * d3, 1e-12), 0.0))
-    x1s = jnp.array([1.0, 1.0, -1.0, -1.0]) * aux1
-    x3s = jnp.array([1.0, -1.0, 1.0, -1.0]) * aux3
-    sin_t = jnp.sqrt(jnp.maximum(
-        (d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) / jnp.maximum(
-        (d1 + d3) * d2, 1e-12)
-    cos_t = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, 1e-12)
-    sins = jnp.array([1.0, -1.0, -1.0, 1.0]) * sin_t
+    nh, gh, Xh, ph = jax.vmap(
+        lambda R, t: _check_motion(R, t, xy1, xy2, h_inliers, K)
+    )(R_h, t_h)
+    nf, gf, Xf, pf = jax.vmap(
+        lambda R, t: _check_motion(R, t, xy1, xy2, f_inliers, K)
+    )(R_f, t_f)
 
-    def h_motion(x1, x3, st):
-        Rp = jnp.array(
-            [[cos_t, 0.0, -st], [0.0, 1.0, 0.0], [st, 0.0, cos_t]]
-        )
-        R = s_det * Ua @ Rp @ Vta
-        tp = jnp.array([x1, 0.0, -x3]) * (d1 - d3)
-        t = Ua @ tp
-        return R, t / (jnp.linalg.norm(t) + 1e-12)
-
-    R_h4, t_h4 = jax.vmap(h_motion)(x1s, x3s, sins)
-    # second theta branch (phi) — negative-d2 solutions rarely win for
-    # forward motion; the 4 primary ones cover the reference's accepted set
-    # in practice (documented approximation of ReconstructH's 8 cases).
-    R_cand = jnp.where(use_H, jnp.concatenate([R_h4, R_h4]), jnp.concatenate([R_f, R_f]))[:4]
-    t_cand = jnp.where(use_H, jnp.concatenate([t_h4, t_h4]), jnp.concatenate([t_f, t_f]))[:4]
-    model_inliers = jnp.where(use_H, h_inliers, f_inliers)
-
-    n_goods, goods, Xs, plx = jax.vmap(
-        lambda R, t: _check_motion(R, t, xy1, xy2, model_inliers, K)
-    )(R_cand, t_cand)
-
-    best = jnp.argmax(n_goods)
-    n_best = n_goods[best]
-    n_second = jnp.sort(n_goods)[-2]
-    n_inl = jnp.sum(model_inliers)
-    # acceptance (reference: ReconstructF :468-571: clear winner, enough
-    # points, enough parallax)
-    success = (
-        (n_best > 0.7 * jnp.maximum(n_inl, 1))
-        & (n_second < 0.75 * n_best)
-        & (n_best >= 50)
-        & (plx[best] < 0.9998)
+    # H acceptance (ReconstructH, reference: :700-730): clear winner
+    # (second < 0.75*best), best > 0.9*N, enough points, enough parallax.
+    bh_i = jnp.argmax(nh)
+    nh_best = nh[bh_i]
+    nh_second = jnp.sort(nh)[-2]
+    Nh = jnp.sum(h_inliers)
+    ok_h = (
+        (nh_second < 0.75 * nh_best)
+        & (nh_best > 0.9 * Nh)
+        & (nh_best >= min_triangulated)
+        & (ph[bh_i] < 0.9998)
     )
-    T21 = lie.make_T(R_cand[best], t_cand[best])
+
+    # F acceptance (ReconstructF, reference: :468-571): maxGood >=
+    # max(0.9*N, minTriangulated) and no second similar solution
+    # (nsimilar == 1 at 0.7*maxGood).
+    bf_i = jnp.argmax(nf)
+    nf_best = nf[bf_i]
+    nsimilar = jnp.sum(nf > 0.7 * nf_best)
+    Nf = jnp.sum(f_inliers)
+    ok_f = (
+        (nf_best > 0.9 * Nf)
+        & (nf_best >= min_triangulated)
+        & (nsimilar == 1)
+        & (pf[bf_i] < 0.9998)
+    )
+
+    success = jnp.where(use_H, ok_h, ok_f)
+    R_sel = jnp.where(use_H, R_h[bh_i], R_f[bf_i])
+    t_sel = jnp.where(use_H, t_h[bh_i], t_f[bf_i])
+    T21 = lie.make_T(R_sel, t_sel)
     return InitResult(
         success=success,
         T_21=T21,
-        points=Xs[best],
-        point_ok=goods[best],
+        points=jnp.where(use_H, Xh[bh_i], Xf[bf_i]),
+        point_ok=jnp.where(use_H, gh[bh_i], gf[bf_i]),
         used_homography=use_H,
     )

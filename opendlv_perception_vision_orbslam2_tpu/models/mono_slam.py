@@ -44,6 +44,9 @@ class MonocularSlam(StereoSlam):
         self._init_key = jax.random.PRNGKey(21)
         self.initialized = False
         self.min_init_matches = MIN_INIT_MATCHES
+        self.min_triangulated = 50  # reference minTriangulated
+                                    # (src/orbinitializer.cpp:468-571);
+                                    # scale down with reduced feature budgets
 
     # ------------------------------------------------------------------
 
@@ -68,6 +71,7 @@ class MonocularSlam(StereoSlam):
         res = initialize_two_view(
             ref.features.xy, xy2, ok, sub,
             fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            min_triangulated=self.min_triangulated,
         )
         if not bool(res.success):
             return None
@@ -118,6 +122,13 @@ class MonocularSlam(StereoSlam):
         )
         self._register_keyframe(int(slot0))
         self._register_keyframe(int(slot1))
+        # full BA over the fresh two-keyframe map (CreateInitialMapMonocular
+        # runs GlobalBundleAdjustemnt(20), reference: src/tracking.cpp:519)
+        from .global_ba import run_global_ba
+        self.map = run_global_ba(self.map, self.config, n_outer=10,
+                                 cg_iters=20)
+        T21 = self.map.kf_T_cw[slot1]
+        cur2 = cur2._replace(T_cw=T21)
         self.n_keyframes = 2
         self.initialized = True
         self.T_cw = T21
@@ -162,10 +173,23 @@ class MonocularSlam(StereoSlam):
         """Single grayscale image in (GrabImageMonocular, reference:
         src/tracking.cpp:233-260)."""
         img = jnp.asarray(img, jnp.float32)
-        cur = process_mono(img, self.config, timestamp)
 
         if not self.initialized:
+            # the reference doubles the extraction budget until the map is
+            # bootstrapped (mpIniORBextractor with 2*nFeatures, reference:
+            # src/tracking.cpp:118-121, 433) — init needs the densest
+            # possible level-0 feature set for two-view matching
+            import dataclasses
+            n2 = min(2 * self.config.orb.n_features,
+                     self.config.orb.max_keypoints)
+            cfg_init = dataclasses.replace(
+                self.config,
+                orb=dataclasses.replace(self.config.orb, n_features=n2),
+            )
+            cur = process_mono(img, cfg_init, timestamp)
             return self._try_initialize(cur)
+
+        cur = process_mono(img, self.config, timestamp)
 
         from .slam import track_frame_with_map, apply_point_counters, MIN_INLIERS_MAP
 

@@ -43,16 +43,11 @@ def _neighbor_views(img):
     return [p[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for (dy, dx) in CIRCLE16]
 
 
-def fast_score_map(img, threshold: float):
-    """Dense FAST-9/16 response.
-
-    Returns ``scores [H, W]`` float32: 0 where not a corner, else the V-score
-    (max threshold at which the segment test still passes).  Matches the
-    semantics OpenCV uses for NMS ordering; used here to rank candidates for
-    the per-cell top-k distribution that replaces DistributeOctTree
-    (reference: src/orbextractor.cpp:680-904, intentional approximation per
-    SURVEY.md section 7).
-    """
+def fast_v_score(img):
+    """Un-gated FAST V-score surface: the best-arc response at every pixel
+    with no corner threshold applied (may be small-positive at non-corners).
+    Shared core of :func:`fast_score_map`; also used raw for sub-pixel peak
+    interpolation, where the threshold gate would flatten the surface."""
     img = img.astype(jnp.float32)
     nb = _neighbor_views(img)            # 16 x [H, W]
     diff = [n - img for n in nb]         # p_i - p
@@ -72,9 +67,51 @@ def fast_score_map(img, threshold: float):
 
     bright = arc_response(diff)
     dark = arc_response([-x for x in diff])
-    v = jnp.maximum(bright, dark)
+    return jnp.maximum(bright, dark)
+
+
+def fast_score_map(img, threshold: float):
+    """Dense FAST-9/16 response.
+
+    Returns ``scores [H, W]`` float32: 0 where not a corner, else the V-score
+    (max threshold at which the segment test still passes).  Matches the
+    semantics OpenCV uses for NMS ordering; used here to rank candidates for
+    the per-cell top-k distribution that replaces DistributeOctTree
+    (reference: src/orbextractor.cpp:680-904, intentional approximation per
+    SURVEY.md section 7).
+    """
+    v = fast_v_score(img)
     is_corner = v > threshold
     return jnp.where(is_corner, v, 0.0)
+
+
+def subpixel_peak_from_patches(patches, center: int):
+    """Sub-pixel corner localization: ``[N, S, S]`` raw intensity patches
+    centred on detected corners -> ``[N, 2]`` (dx, dy) offsets in level px.
+
+    Evaluates the un-gated FAST V-score on the central 3x3 of each patch and
+    fits a 1-D parabola per axis — the same interpolation the reference uses
+    for stereo disparity (reference: src/orbframe.cpp:641-649), applied here
+    to corner *position*.  The reference keeps integer corner coordinates
+    (src/orbextractor.cpp:906-994); this is a deliberate accuracy improvement
+    that cuts per-level quantization noise (+-0.5 px at the level, scaled by
+    1.2^octave at level 0) roughly in half.
+    """
+    import jax
+
+    # V-score at the 3x3 around the centre needs circle samples within
+    # +-(1+3) px: a 9x9 crop suffices and its central 3x3 sees no padding.
+    crops = patches[:, center - 4 : center + 5, center - 4 : center + 5]
+    v = jax.vmap(fast_v_score)(crops)[:, 3:6, 3:6]
+
+    def fit(s_m, c, s_p):
+        den = s_m + s_p - 2.0 * c
+        off = jnp.where(den < -1e-6, 0.5 * (s_m - s_p) / den, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = fit(v[:, 1, 0], v[:, 1, 1], v[:, 1, 2])
+    dy = fit(v[:, 0, 1], v[:, 1, 1], v[:, 2, 1])
+    return jnp.stack([dx, dy], axis=-1)
 
 
 def fast_with_fallback(img, ini_threshold: float, min_threshold: float):

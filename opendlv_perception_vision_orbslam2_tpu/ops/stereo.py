@@ -158,7 +158,14 @@ def stereo_match(feat_left, feat_right, atlas_left, atlas_right, row_offsets,
     delta = jnp.where(delta_ok, delta, 0.0)
 
     scale_l = jnp.power(jnp.float32(scale_factor), octL.astype(jnp.float32))
-    best_ur = scale_l * (
+    # The SAD slide aligns the right strip to the left window centred at the
+    # *integer* level pixel su, so the measured right coordinate corresponds
+    # to su — carry the left keypoint's sub-pixel offset (uL - su*scale, from
+    # ops/fast.subpixel_peak_from_patches) onto u_right so that the output
+    # coordinate pairs stay consistent and the disparity remains the
+    # SAD-aligned one.
+    frac_u = uL - su.astype(jnp.float32) * scale_l
+    best_ur = frac_u + scale_l * (
         sur0.astype(jnp.float32) + (best_inc_idx - SLIDE).astype(jnp.float32) + delta
     )
     disparity = uL - best_ur

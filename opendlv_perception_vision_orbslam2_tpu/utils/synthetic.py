@@ -61,8 +61,11 @@ def make_world(n_points: int = 600, seed: int = 0,
     return SyntheticWorld(jnp.asarray(pts), jnp.asarray(patterns))
 
 
-def straight_trajectory(n_frames: int, step: float = 0.35, yaw_rate: float = 0.0):
-    """Ground-truth camera poses T_cw [N, 4, 4]: forward motion along +z with
+def straight_trajectory(n_frames: int, step: float = 0.35,
+                        yaw_rate: float = 0.0, step_x: float = 0.0):
+    """Ground-truth camera poses T_cw [N, 4, 4]: forward motion along +z
+    (plus optional lateral ``step_x`` along +x — sideways-dominant motion is
+    the well-posed regime for monocular two-view initialization) with
     optional constant yaw (world frame = first camera frame)."""
     poses = []
     T_wc = np.eye(4, dtype=np.float32)
@@ -78,6 +81,7 @@ def straight_trajectory(n_frames: int, step: float = 0.35, yaw_rate: float = 0.0
         )
         step_T = np.eye(4, dtype=np.float32)
         step_T[:3, :3] = dR
+        step_T[0, 3] = step_x
         step_T[2, 3] = step
         T_wc = T_wc @ step_T
     return jnp.asarray(np.stack(poses))
@@ -128,11 +132,13 @@ def render_view(T_cw, world: SyntheticWorld, height: int, width: int,
 
 def render_stereo_sequence(config: SystemConfig, n_frames: int = 30,
                            n_points: int = 600, seed: int = 0,
-                           step: float = 0.35, yaw_rate: float = 0.0):
+                           step: float = 0.35, yaw_rate: float = 0.0,
+                           step_x: float = 0.0,
+                           z_range=(2.0, 60.0)):
     """Returns (imgs_left [N,H,W], imgs_right [N,H,W], T_cw_gt [N,4,4], world)."""
     cam = config.camera
-    world = make_world(n_points, seed)
-    poses = straight_trajectory(n_frames, step, yaw_rate)
+    world = make_world(n_points, seed, z_range=z_range)
+    poses = straight_trajectory(n_frames, step, yaw_rate, step_x)
 
     baseline = cam.baseline_m
     T_rl = jnp.asarray(np.array(

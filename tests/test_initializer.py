@@ -66,9 +66,13 @@ def test_init_general_scene_fundamental():
     assert (z_est > 0).mean() > 0.99
 
 
-def test_init_planar_scene_homography():
+def test_init_planar_ambiguity_rejected():
+    """An EXACT plane is inherently twofold-ambiguous under H decomposition
+    (the conjugate Faugeras solution reprojects perfectly too), so the
+    reference's ``secondBest < 0.75*best`` gate must refuse to initialize
+    (ReconstructH, reference: src/orbinitializer.cpp:700-730).  Accepting
+    here would mean gambling on the wrong motion half the time."""
     rng = np.random.default_rng(4)
-    # points on a plane z = 10 + 0.2x
     x = rng.uniform(-6, 6, 300)
     y = rng.uniform(-3, 3, 300)
     z = 10.0 + 0.2 * x
@@ -76,11 +80,57 @@ def test_init_planar_scene_homography():
     xi = np.array([0.5, 0.1, 0.1, 0.0, 0.04, 0.01], np.float32)
     T21 = np.asarray(lie.exp_se3(jnp.asarray(xi)))
     res = _run_init(pts, T21, noise=0.2)
-    assert bool(res.success)
     assert bool(res.used_homography)
+    assert not bool(res.success)
+
+
+def test_init_planar_scene_with_relief():
+    """A dominant plane with modest out-of-plane relief (the realistic
+    'planar scene') must initialize with an accurate motion: the relief
+    breaks the conjugate-plane ambiguity."""
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-4, 4, 300)
+    y = rng.uniform(-2.5, 2.5, 300)
+    z = 6.0 + 0.2 * x + rng.uniform(-0.6, 0.6, 300)
+    pts = np.stack([x, y, z], -1).astype(np.float32)
+    xi = np.array([0.8, 0.1, 0.1, 0.0, 0.04, 0.01], np.float32)
+    T21 = np.asarray(lie.exp_se3(jnp.asarray(xi)))
+    res = _run_init(pts, T21, noise=0.2)
+    assert bool(res.success)
     dir_err, ang = _rel_err(res.T_21, T21)
     assert dir_err < 0.08
     assert ang < 0.03
+
+
+def test_faugeras_decomposition_contains_true_motion():
+    """decompose_homography must return the full 8-solution Faugeras set:
+    for an exact plane-induced homography H = K (R + t n^T / d) K^-1 the
+    true (R, t/||t||) must appear among the 8 candidates (ReconstructH,
+    reference: src/orbinitializer.cpp:573-730)."""
+    from opendlv_perception_vision_orbslam2_tpu.models.initializer import (
+        decompose_homography,
+    )
+
+    K = np.array([[320.0, 0, 256.0], [0, 320.0, 128.0], [0, 0, 1.0]],
+                 np.float32)
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        xi = np.concatenate([
+            rng.uniform(-0.5, 0.5, 3), rng.uniform(-0.1, 0.1, 3)
+        ]).astype(np.float32)
+        T = np.asarray(lie.exp_se3(jnp.asarray(xi)))
+        R_true, t_true = T[:3, :3], T[:3, 3]
+        n = np.array([0.2, -0.1, -1.0], np.float32)
+        n /= np.linalg.norm(n)
+        d = 8.0
+        H = K @ (R_true + np.outer(t_true, n) / d) @ np.linalg.inv(K)
+        R8, t8 = decompose_homography(jnp.asarray(H), jnp.asarray(K))
+        t_dir = t_true / (np.linalg.norm(t_true) + 1e-12)
+        best_r = min(float(jnp.linalg.norm(R8[i] - R_true))
+                     for i in range(8))
+        best_t = max(float(jnp.dot(t8[i], t_dir)) for i in range(8))
+        assert best_r < 1e-3, (trial, best_r)
+        assert best_t > 0.999, (trial, best_t)
 
 
 def test_init_rejects_pure_rotation():

@@ -88,30 +88,40 @@ def test_mono_slam_bootstrap_and_tracking():
         max_map_points=16384,
     )
     n_frames = 10
-    # sideways-dominant motion gives parallax for mono init
+    # sideways-dominant motion over a close-range world gives parallax for
+    # mono init (forward-only motion is the degenerate regime: the
+    # reference's own 0.9*N reconstruction gates reject it until enough
+    # baseline accumulates)
     lefts, _, gt_poses, _ = synthetic.render_stereo_sequence(
-        cfg, n_frames=n_frames, n_points=600, seed=9, step=0.35, yaw_rate=0.02
+        cfg, n_frames=n_frames, n_points=600, seed=9, step=0.05,
+        step_x=0.15, yaw_rate=0.0, z_range=(3.0, 15.0)
     )
     slam = MonocularSlam(cfg, enable_loop_closing=False,
                          enable_relocalization=False)
     slam.min_init_matches = 60  # scaled for the 600-feature test budget
                                 # (reference's 100 assumes 2x2000 features)
+    slam.min_triangulated = 40  # likewise scaled from the reference's 50
     initialized_at = None
     lost_at = None
+    init_T = None
     for i in range(n_frames):
         T = slam.process(lefts[i], timestamp=i * 0.1)
         if slam.initialized and initialized_at is None:
             initialized_at = i
+            init_T = np.asarray(T)
         if slam.initialized and slam.lost and lost_at is None:
             lost_at = i
     assert slam.initialized, "monocular bootstrap failed"
     assert slam.n_keyframes >= 2
     assert int(jnp.sum(slam.map.pt_valid)) > 50
-    # Tracking must survive well past the bootstrap.  Long-horizon mono
-    # scale stability (the reference runs 2x the feature budget and a much
-    # denser keyframe cadence for mono) is tracked as follow-up work: with
-    # this reduced test budget the 60-point map accumulates scale drift
-    # after ~7 frames.
+    # the init pose must be the RIGHT motion, not merely an accepted one:
+    # translation direction within 15 deg of ground truth (guards against
+    # degenerate homography decompositions sneaking through the gates)
+    T_gt = np.asarray(gt_poses[initialized_at]) @ np.linalg.inv(
+        np.asarray(gt_poses[0]))
+    t_est = init_T[:3, 3] / np.linalg.norm(init_T[:3, 3])
+    t_gt = T_gt[:3, 3] / np.linalg.norm(T_gt[:3, 3])
+    assert float(t_est @ t_gt) > 0.966, (t_est, t_gt)
     assert initialized_at is not None and initialized_at <= 4
     assert lost_at is None or lost_at - initialized_at >= 4, (
         initialized_at, lost_at)
