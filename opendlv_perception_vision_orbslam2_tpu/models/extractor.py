@@ -148,7 +148,7 @@ def _select_pyramid_keypoints(levels: Sequence, config: OrbConfig):
         B, H, W = level_img.shape
 
         def sel_one(img, budget=budget):
-            if orb_ops.patch_gather_mode() == "pallas":
+            if fast_ops.fast_kernel_mode() == "pallas":
                 # Fused VMEM kernel (ops/fast_pallas.py). "strong" is only
                 # consulted at NMS survivors, where the post-NMS score equals
                 # the pre-NMS score — so thresholding the NMS'd map gives a

@@ -75,76 +75,16 @@ def _motion_model_match(m: MapState, last_frame: FrameState, last_bindings,
         has_depth & (feats_last.depth < th_far)
     )
 
-    dist = hamming_matrix(feats_last.desc, cur_frame.features.desc)
-    z_motion = velocity[2, 3]
-
-    def match_at(mult, nn_ratio=0.0):
-        mm = matching.search_by_projection(
-            p_w, usable, feats_last.desc, feats_last.octave, feats_last.angle,
-            cur_frame.features, T_pred,
-            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
-            width=cam.width, height=cam.height,
-            radius_th=7.0 * mult, scale_factor=config.orb.scale_factor,
-            z_motion=z_motion, baseline=cam.baseline_m, dist=dist,
-            nn_ratio=nn_ratio,
-        )
-        mm = matching.resolve_duplicate_targets(mm, cur_frame.features.capacity)
-        return mm, jnp.sum(mm.valid)
-
-
-    def brute_match():
-        """Gate-free appearance matching: the bootstrap rung.  Equivalent
-        role to TrackReferenceKeyFrame's BoW matching (reference:
-        src/tracking.cpp:587-629): when the motion prediction is stale no
-        spatial gate is trustworthy, so match on descriptors alone with a
-        ratio test + mutual cross-check + rotation consistency."""
-        from ..ops.hamming import MAX_DIST as _MD
-        big = _MD + 1
-        gate = usable[:, None] & cur_frame.features.valid[None, :]
-        d = jnp.where(gate, dist, big)
-        best = jnp.argmin(d, axis=1)
-        best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
-        d2 = d.at[jnp.arange(d.shape[0]), best].set(big)
-        second = jnp.min(d2, axis=1)
-        ok = (best_d <= 100) & (
-            best_d.astype(jnp.float32) <= 0.8 * second.astype(jnp.float32)
-        )
-        # mutual cross-check
-        back = jnp.argmin(jnp.where(gate, dist, big), axis=0)
-        ok = ok & (jnp.take(back, best) == jnp.arange(d.shape[0]))
-        from ..ops.hamming import rotation_consistency_mask
-        ok = rotation_consistency_mask(
-            feats_last.angle, cur_frame.features.angle, best, ok
-        )
-        mb = matching.ProjectionMatches(dst_idx=best, dist=best_d, valid=ok)
-        mb = matching.resolve_duplicate_targets(mb, cur_frame.features.capacity)
-        return mb, jnp.sum(mb.valid)
-
-    m1, n1 = match_at(1)
-    m2, n2 = match_at(2)
-    m8, n8 = brute_match()
-    pick = lambda c, a, b: jnp.where(c, a, b)
-    # rung rule: close-point coverage (see models/tracking.py) — a stale
-    # prediction must not settle on a far-points-only tight gate
-    close_src = (feats_last.depth > 0) & (feats_last.depth < th_far)
-    c1 = jnp.sum(m1.valid & close_src)
-    c2 = jnp.sum(m2.valid & close_src)
-    c8 = jnp.sum(m8.valid & close_src)
-    # monocular frames carry no depth: fall back to plain count coverage
-    has_close = jnp.sum(close_src) > 0
-    th_close = jnp.maximum(10, (c8 + 1) // 2)
-    cond1 = (n1 >= MIN_MATCHES_MOTION) & jnp.where(
-        has_close, c1 >= th_close, 2 * n1 >= n8
+    mm, n = matching.motion_ladder_match(
+        p_w, usable, feats_last.desc, feats_last.octave, feats_last.angle,
+        feats_last.depth, cur_frame.features, T_pred,
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+        width=cam.width, height=cam.height,
+        scale_factor=config.orb.scale_factor,
+        z_motion=velocity[2, 3], baseline=cam.baseline_m,
+        th_far=th_far, min_matches=MIN_MATCHES_MOTION,
     )
-    cond2 = (n2 >= MIN_MATCHES_MOTION) & jnp.where(
-        has_close, c2 >= th_close, 2 * n2 >= n8
-    )
-    mm = matching.ProjectionMatches(
-        dst_idx=pick(cond1, m1.dst_idx, pick(cond2, m2.dst_idx, m8.dst_idx)),
-        dist=pick(cond1, m1.dist, pick(cond2, m2.dist, m8.dist)),
-        valid=pick(cond1, m1.valid, pick(cond2, m2.valid, m8.valid)),
-    )
-    return mm, p_w, jnp.sum(mm.valid)
+    return mm, p_w, n
 
 
 def _local_point_window(m: MapState, bindings):

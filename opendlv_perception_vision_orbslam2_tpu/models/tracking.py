@@ -104,97 +104,18 @@ def motion_model_step(state: TrackState, cur_frame: FrameState,
     T_pred = state.velocity @ state.T_cw
 
     th_far = config.tracking.th_depth * cam.baseline_m
-
-    class _Src(NamedTuple):
-        desc: jnp.ndarray
-        octave: jnp.ndarray
-        angle: jnp.ndarray
-        depth: jnp.ndarray
-
     _, p_w, usable, desc_s, oct_s, ang_s, d_s = _compact_sources(state, th_far)
-    feats_last = _Src(desc=desc_s, octave=oct_s, angle=ang_s, depth=d_s)
-    z_motion = state.velocity[2, 3]
 
-    from ..ops.hamming import hamming_matrix
-
-    dist = hamming_matrix(feats_last.desc, cur_frame.features.desc)
-
-    def match_at(mult, nn_ratio=0.0):
-        m = matching.search_by_projection(
-            p_w, usable, feats_last.desc, feats_last.octave, feats_last.angle,
-            cur_frame.features, T_pred,
-            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
-            width=cam.width, height=cam.height,
-            radius_th=7.0 * mult * radius_mult,
-            scale_factor=config.orb.scale_factor,
-            z_motion=z_motion, baseline=cam.baseline_m,
-            dist=dist, nn_ratio=nn_ratio,
-        )
-        m = matching.resolve_duplicate_targets(m, cur_frame.features.capacity)
-        return m, jnp.sum(m.valid)
-
-
-    def brute_match():
-        """Gate-free appearance matching: the bootstrap rung.  Equivalent
-        role to TrackReferenceKeyFrame's BoW matching (reference:
-        src/tracking.cpp:587-629): when the motion prediction is stale no
-        spatial gate is trustworthy, so match on descriptors alone with a
-        ratio test + mutual cross-check + rotation consistency."""
-        from ..ops.hamming import MAX_DIST as _MD
-        big = _MD + 1
-        gate = usable[:, None] & cur_frame.features.valid[None, :]
-        d = jnp.where(gate, dist, big)
-        best = jnp.argmin(d, axis=1)
-        best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
-        d2 = d.at[jnp.arange(d.shape[0]), best].set(big)
-        second = jnp.min(d2, axis=1)
-        ok = (best_d <= 100) & (
-            best_d.astype(jnp.float32) <= 0.8 * second.astype(jnp.float32)
-        )
-        # mutual cross-check
-        back = jnp.argmin(jnp.where(gate, dist, big), axis=0)
-        ok = ok & (jnp.take(back, best) == jnp.arange(d.shape[0]))
-        from ..ops.hamming import rotation_consistency_mask
-        ok = rotation_consistency_mask(
-            feats_last.angle, cur_frame.features.angle, best, ok
-        )
-        mb = matching.ProjectionMatches(dst_idx=best, dist=best_d, valid=ok)
-        mb = matching.resolve_duplicate_targets(mb, cur_frame.features.capacity)
-        return mb, jnp.sum(mb.valid)
-
-    m1, n1 = match_at(1)
-    m2, n2 = match_at(2)
-    m8, n8 = brute_match()
-
-    def select(cond, a: matching.ProjectionMatches, b: matching.ProjectionMatches):
-        pick = lambda x, y: jnp.where(cond, x, y)
-        return matching.ProjectionMatches(
-            dst_idx=pick(a.dst_idx, b.dst_idx),
-            dist=pick(a.dist, b.dist),
-            valid=pick(a.valid, b.valid),
-        )
-
-    # Rung rule: smallest radius with enough matches AND enough CLOSE-point
-    # coverage.  A bare match-count rule settles on a tight gate that (under
-    # a stale motion prediction) only captures low-flow FAR points — pure
-    # rotation information, translation collapses.  Close points (src depth
-    # < thDepth*baseline) are where translation accuracy lives, so each rung
-    # must retain at least half the widest gate's close matches.
-    close_src = (feats_last.depth > 0) & (feats_last.depth < th_far)
-    c1 = jnp.sum(m1.valid & close_src)
-    c2 = jnp.sum(m2.valid & close_src)
-    c8 = jnp.sum(m8.valid & close_src)
-    # monocular frames carry no depth: fall back to plain count coverage
-    has_close = jnp.sum(close_src) > 0
-    th_close = jnp.maximum(10, (c8 + 1) // 2)
-    good1 = (n1 >= MIN_MATCHES_MOTION) & jnp.where(
-        has_close, c1 >= th_close, 2 * n1 >= n8
+    m, n_matches = matching.motion_ladder_match(
+        p_w, usable, desc_s, oct_s, ang_s, d_s,
+        cur_frame.features, T_pred,
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+        width=cam.width, height=cam.height,
+        scale_factor=config.orb.scale_factor,
+        z_motion=state.velocity[2, 3], baseline=cam.baseline_m,
+        th_far=th_far, radius_mult=radius_mult,
+        min_matches=MIN_MATCHES_MOTION,
     )
-    good2 = (n2 >= MIN_MATCHES_MOTION) & jnp.where(
-        has_close, c2 >= th_close, 2 * n2 >= n8
-    )
-    m = select(good1, m1, select(good2, m2, m8))
-    n_matches = jnp.sum(m.valid)
 
     dst = m.dst_idx
     sigma2 = features_scale_sigma2(cur_frame.features, config.orb.scale_factor)

@@ -43,6 +43,21 @@ def _neighbor_views(img):
     return [p[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for (dy, dx) in CIRCLE16]
 
 
+def fast_kernel_mode() -> str:
+    """"pallas" (fused FAST+NMS VMEM row-band kernel, ops/fast_pallas.py) or
+    "xla" (dense prefix-min-tree chain below).  Auto: Pallas on TPU only.
+    Env override: ``ORBSLAM2_TPU_FAST=pallas|xla`` — its own flag, separate
+    from the patch-gather selection (``ORBSLAM2_TPU_PATCH_GATHER``)."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("ORBSLAM2_TPU_FAST", "auto")
+    if mode == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return mode
+
+
 def fast_v_score(img):
     """Un-gated FAST V-score surface: the best-arc response at every pixel
     with no corner threshold applied (may be small-positive at non-corners).

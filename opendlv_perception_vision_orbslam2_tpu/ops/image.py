@@ -96,8 +96,16 @@ def build_pyramid(img, n_levels: int, scale_factor: float):
     h, w = img.shape
     x = img.astype(jnp.float32)
     levels = [x]
+    # HIGHEST precision: on TPU the default f32 matmul runs on the MXU in
+    # bf16 (~8 mantissa bits => +-0.5 intensity error at 0..255), which
+    # would inject level>=1 noise into FAST scores and the sub-pixel corner
+    # interpolation; full-f32 accumulation keeps the pyramid bit-comparable
+    # with the CPU-tested accuracy contract (tests/test_pyramid.py).
     for mh, mw in _pyramid_matrices(h, w, n_levels, scale_factor):
-        levels.append(jnp.asarray(mh) @ (x @ jnp.asarray(mw).T))
+        inner = jnp.matmul(x, jnp.asarray(mw).T,
+                           precision=jax.lax.Precision.HIGHEST)
+        levels.append(jnp.matmul(jnp.asarray(mh), inner,
+                                 precision=jax.lax.Precision.HIGHEST))
     return levels
 
 

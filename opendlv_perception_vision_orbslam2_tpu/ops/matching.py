@@ -232,3 +232,91 @@ def resolve_duplicate_targets(matches: ProjectionMatches, n_dst: int):
     )
     keep = keep & (jnp.take(first_at, matches.dst_idx) == order)
     return matches._replace(valid=keep)
+
+
+def motion_ladder_match(p_w, usable, desc_s, oct_s, ang_s, depth_s,
+                        cur_features, T_pred, *, fx, fy, cx, cy, bf,
+                        width, height, scale_factor, z_motion, baseline,
+                        th_far, radius_mult: int = 1, min_matches: int = 20):
+    """Shared motion-model matching ladder (x1 -> x2 -> brute), used by both
+    the VO tracker (models/tracking.py) and the map tracker (models/slam.py).
+
+    The reference retries SearchByProjection with a doubled radius when
+    matches < 20 (reference: src/tracking.cpp:744-748) and falls back to
+    BoW reference-keyframe matching when the motion model is stale
+    (reference: src/tracking.cpp:587-629).  Here all three rungs evaluate in
+    one program over a shared Hamming matrix and the first sufficient rung
+    wins via masked select; rung sufficiency demands close-point coverage
+    (translation information), not just match count.
+
+    ``p_w [S,3]`` source world points, ``usable [S]`` mask, ``desc_s/oct_s/
+    ang_s/depth_s`` per-source features, ``depth_s`` < 0 where unknown.
+    Returns ``(ProjectionMatches, n_matches)``.
+    """
+    dist = hamming_matrix(desc_s, cur_features.desc)
+    big = MAX_DIST + 1
+
+    def match_at(mult):
+        m = search_by_projection(
+            p_w, usable, desc_s, oct_s, ang_s,
+            cur_features, T_pred,
+            fx=fx, fy=fy, cx=cx, cy=cy, bf=bf,
+            width=width, height=height,
+            radius_th=7.0 * mult * radius_mult,
+            scale_factor=scale_factor,
+            z_motion=z_motion, baseline=baseline,
+            dist=dist, nn_ratio=0.0,
+        )
+        m = resolve_duplicate_targets(m, cur_features.capacity)
+        return m, jnp.sum(m.valid)
+
+    def brute_match():
+        # gate-free appearance rung: ratio test + mutual cross-check +
+        # rotation consistency
+        gate = usable[:, None] & cur_features.valid[None, :]
+        d = jnp.where(gate, dist, big)
+        best = jnp.argmin(d, axis=1)
+        best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+        d2 = d.at[jnp.arange(d.shape[0]), best].set(big)
+        second = jnp.min(d2, axis=1)
+        ok = (best_d <= TH_HIGH) & (
+            best_d.astype(jnp.float32) <= 0.8 * second.astype(jnp.float32)
+        )
+        back = jnp.argmin(jnp.where(gate, dist, big), axis=0)
+        ok = ok & (jnp.take(back, best) == jnp.arange(d.shape[0]))
+        ok = rotation_consistency_mask(ang_s, cur_features.angle, best, ok)
+        mb = ProjectionMatches(dst_idx=best, dist=best_d, valid=ok)
+        mb = resolve_duplicate_targets(mb, cur_features.capacity)
+        return mb, jnp.sum(mb.valid)
+
+    m1, n1 = match_at(1)
+    m2, n2 = match_at(2)
+    m8, n8 = brute_match()
+
+    # Rung rule: smallest radius with enough matches AND enough CLOSE-point
+    # coverage.  A bare match-count rule settles on a tight gate that (under
+    # a stale motion prediction) only captures low-flow FAR points — pure
+    # rotation information, translation collapses.  Close points (src depth
+    # < thDepth*baseline) are where translation accuracy lives, so each rung
+    # must retain at least half the widest gate's close matches.
+    close_src = (depth_s > 0) & (depth_s < th_far)
+    c1 = jnp.sum(m1.valid & close_src)
+    c2 = jnp.sum(m2.valid & close_src)
+    c8 = jnp.sum(m8.valid & close_src)
+    # monocular frames carry no depth: fall back to plain count coverage
+    has_close = jnp.sum(close_src) > 0
+    th_close = jnp.maximum(10, (c8 + 1) // 2)
+    good1 = (n1 >= min_matches) & jnp.where(
+        has_close, c1 >= th_close, 2 * n1 >= n8
+    )
+    good2 = (n2 >= min_matches) & jnp.where(
+        has_close, c2 >= th_close, 2 * n2 >= n8
+    )
+
+    pick = lambda c, a, b: jnp.where(c, a, b)
+    m = ProjectionMatches(
+        dst_idx=pick(good1, m1.dst_idx, pick(good2, m2.dst_idx, m8.dst_idx)),
+        dist=pick(good1, m1.dist, pick(good2, m2.dist, m8.dist)),
+        valid=pick(good1, m1.valid, pick(good2, m2.valid, m8.valid)),
+    )
+    return m, jnp.sum(m.valid)

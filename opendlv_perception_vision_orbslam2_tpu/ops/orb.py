@@ -192,7 +192,9 @@ def patch_gather_mode() -> str:
 
     mode = os.environ.get("ORBSLAM2_TPU_PATCH_GATHER", "auto")
     if mode == "auto":
-        return "pallas" if jax.default_backend() != "cpu" else "xla"
+        # Mosaic kernels only exist for TPU: any other backend (CPU, GPU)
+        # must take the XLA path.
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
     return mode
 
 

@@ -38,7 +38,7 @@ def _gather_win(img, y0, x0, ph: int, pw: int):
 
     mode = os.environ.get("ORBSLAM2_TPU_SAD_GATHER", "auto")
     if mode == "auto":
-        mode = "pallas" if jax.default_backend() != "cpu" else "xla"
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
     if mode == "pallas":
         from .gather_pallas import gather_patches
 
