@@ -33,6 +33,69 @@ def main(argv=None) -> int:
         return 1
 
     config = config_from_flags(flags)
+    raw_config = config   # pre-rectification dims for the SHM layout
+
+    # Live stereo ingest may need resize + undistort-rectify before the
+    # SLAM core (setUpRealtime, reference: src/selflocalization.cpp:380-531:
+    # stereoRectify + initUndistortRectifyMap once, then per-frame remap at
+    # :267-299; the rectified P1 intrinsics replace the raw ones :497-501).
+    rect_maps = None
+    if (not config.rectify) and 0 < config.resize < 1 and not config.kitti_path:
+        # resize-only ingest: scale intrinsics + frame dims like the
+        # reference's resizeScale pre-multiplication (reference:
+        # src/selflocalization.cpp:438-472)
+        import dataclasses
+
+        sc = config.resize
+        cam = config.camera
+        config = dataclasses.replace(
+            config,
+            camera=dataclasses.replace(
+                cam, fx=cam.fx * sc, fy=cam.fy * sc, cx=cam.cx * sc,
+                cy=cam.cy * sc, bf=cam.bf * sc,
+                width=int((config.width // 2) * sc),
+                height=int(config.height * sc),
+            ),
+        )
+    if config.rectify and not config.kitti_path:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from .ops import undistort as und
+
+        scale = config.resize if config.resize > 0 else 1.0
+        camL, camR = config.camera, config.camera_right
+        h = int(config.height * scale)
+        w = int((config.width // 2) * scale)
+        R = und.rodrigues(jnp.asarray(
+            [camL.rx, camL.cv_rot, camL.rz], jnp.float32))
+        T = jnp.asarray([-camL.baseline, 0.0, 0.0], jnp.float32)
+        sl = lambda v: v * scale
+        R1, R2, (fxn, fyn, cxn, cyn), baseline = und.stereo_rectify(
+            R, T, sl(camL.fx), sl(camL.fy), sl(camL.cx), sl(camL.cy),
+            sl(camR.fx), sl(camR.fy), sl(camR.cx), sl(camR.cy),
+        )
+        grid_l = und.build_rectify_map(
+            h, w, sl(camL.fx), sl(camL.fy), sl(camL.cx), sl(camL.cy),
+            camL.k1, camL.k2, camL.p1, camL.p2, camL.k3,
+            R1, fxn, fyn, cxn, cyn,
+        )
+        grid_r = und.build_rectify_map(
+            h, w, sl(camR.fx), sl(camR.fy), sl(camR.cx), sl(camR.cy),
+            camR.k1, camR.k2, camR.p1, camR.p2, camR.k3,
+            R2, fxn, fyn, cxn, cyn,
+        )
+        rect_maps = (grid_l, grid_r)
+        config = dataclasses.replace(
+            config,
+            camera=dataclasses.replace(
+                camL, fx=float(fxn), fy=float(fyn), cx=float(cxn),
+                cy=float(cyn), k1=0.0, k2=0.0, k3=0.0, p1=0.0, p2=0.0,
+                bf=float(fxn * baseline), width=w, height=h,
+            ),
+        )
+
     vocab = None
     if config.voc_file_path:
         from .models.vocabulary import load_text_vocabulary
@@ -55,7 +118,7 @@ def main(argv=None) -> int:
         from .io.kitti import KittiRunner
 
         runner = KittiRunner(
-            config.kitti_path, pipeline.slam, real_time=False, publisher=od4
+            config.kitti_path, pipeline, real_time=False, publisher=od4
         )
         runner.run()
         stats = runner.shutdown_stats()
@@ -66,13 +129,29 @@ def main(argv=None) -> int:
         pipeline.shutdown(config.kitti_path)
         return 0
 
-    # live mode: shared-memory ingest (reference: :78-118)
+    # live mode: shared-memory ingest (reference: :78-118); the side-by-side
+    # frame splits at the RAW width even when rectification rescaled the
+    # SLAM-facing config (nextContainer, reference:
+    # src/selflocalization.cpp:267-299)
     from .io.shared_memory import shared_memory_frames
 
-    for img, ts in shared_memory_frames(config):
-        pipeline.track(
-            img[:, : config.width // 2], img[:, config.width // 2 :], ts
-        )
+    raw_w = int(flags.get("width", config.width))
+    for img, ts in shared_memory_frames(raw_config):
+        left = img[:, : raw_w // 2]
+        right = img[:, raw_w // 2 :]
+        if rect_maps is not None:
+            from .ops.undistort import remap_bilinear
+
+            left = remap_bilinear(left, rect_maps[0])
+            right = remap_bilinear(right, rect_maps[1])
+        if rect_maps is None and 0 < config.resize < 1:
+            from .ops.resample import resize_bilinear
+
+            left = resize_bilinear(left, (config.camera.height,
+                                          config.camera.width))
+            right = resize_bilinear(right, (config.camera.height,
+                                            config.camera.width))
+        pipeline.track(left, right, ts)
     pipeline.shutdown()
     return 0
 

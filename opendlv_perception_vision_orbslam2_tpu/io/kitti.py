@@ -53,7 +53,14 @@ def decode_png_gray(path: str) -> np.ndarray:
 
 
 class KittiRunner:
-    """Drives a SLAM engine over a KITTI sequence directory."""
+    """Drives a SLAM target over a KITTI sequence directory.
+
+    ``slam`` is either a :class:`..models.selflocalization.Selflocalization`
+    pipeline (preferred: its ``track`` publishes pose+map per frame and
+    collects the fps.txt series itself, matching the reference's
+    runKitti -> Track -> sendPose/sendMap flow,
+    reference: src/selflocalization.cpp:65-99) or a bare engine exposing
+    ``process`` (tests/bench), in which case this runner publishes."""
 
     def __init__(self, kitti_path: str, slam, real_time: bool = False,
                  publisher=None, prefetch: int = 4):
@@ -65,6 +72,11 @@ class KittiRunner:
         self.track_times: list[float] = []
         self._queue: Queue = Queue(maxsize=prefetch)
         self._n = len(self.times)
+
+    @property
+    def _trajectory(self):
+        inner = getattr(self.slam, "slam", None)
+        return (inner or self.slam).trajectory
 
     def _producer(self):
         for i in range(self._n):
@@ -85,13 +97,16 @@ class KittiRunner:
                 break
             i, left, right = item
             t0 = time.time()
-            self.slam.process(left, right, timestamp=self.times[i])
+            if hasattr(self.slam, "track"):
+                # Selflocalization pipeline: publishes + records fps series
+                self.slam.track(left, right, timestamp=self.times[i])
+            else:
+                self.slam.process(left, right, timestamp=self.times[i])
+                if self.publisher is not None:
+                    self._publish(i)
             dt = time.time() - t0
             self.track_times.append(dt)
             processed += 1
-
-            if self.publisher is not None:
-                self._publish(i)
 
             if self.real_time and i + 1 < self._n:
                 budget = self.times[i + 1] - self.times[i]
@@ -99,16 +114,20 @@ class KittiRunner:
                     time.sleep(budget - dt)
             if max_frames is not None and processed >= max_frames:
                 break
-        return self.slam.trajectory
+        return self._trajectory
 
     def _publish(self, frame_idx: int):
-        from .messages import Geolocation, chunk_map_messages
+        """Engine-mode publishing: a REAL pose per frame (sendPose contract,
+        reference: src/selflocalization.cpp:83-86, 301-328) and the full map
+        every 20 frames."""
+        from ..models.selflocalization import pose_to_geolocation
+        from .messages import chunk_map_messages
 
-        traj = self.slam.trajectory
+        traj = self._trajectory
         if not traj:
             return
         T = np.asarray(traj[-1])
-        self.publisher.send(Geolocation())
+        self.publisher.send(pose_to_geolocation(T, 0.0, 0.0, 0.0))
         # full map every 20 frames, pose-only otherwise (cadence contract,
         # reference: src/selflocalization.cpp:88-99)
         if frame_idx % 20 == 0 and hasattr(self.slam, "map"):

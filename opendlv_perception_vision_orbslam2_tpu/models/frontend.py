@@ -23,6 +23,50 @@ from .extractor import extract_from_pyramid, extract_from_pyramid_pair
 from .frame import Features, FrameState
 
 
+def _bbox_filter(feats: Features, config: SystemConfig) -> Features:
+    """Invalidate keypoints inside the configured BoundingBox — the
+    reference drops ego-vehicle (hood) keypoints this way (FilterKeyPoints,
+    reference: src/orbframe.cpp:403-445; enabled when MaxX > 2)."""
+    tr = config.tracking
+    if tr.bbox_max_x <= 2:
+        return feats
+    x, y = feats.xy[:, 0], feats.xy[:, 1]
+    inside = (
+        (x > tr.bbox_min_x) & (x < tr.bbox_max_x)
+        & (y > tr.bbox_min_y) & (y < tr.bbox_max_y)
+    )
+    return feats._replace(valid=feats.valid & ~inside)
+
+
+def _undistort_features(feats: Features, config: SystemConfig,
+                        shift_uright: bool = False) -> Features:
+    """Undistort keypoint coordinates in place when the camera carries
+    distortion (UndistortKeyPoints, reference: src/orbframe.cpp:448-479;
+    gated on |k1| >= 1e-4 like the reference's 0.0001 check).
+
+    With ``shift_uright`` the stereo right-coordinate moves by the same
+    horizontal correction so disparity (measured on the raw pair) is
+    preserved — the stereo path assumes rectified input like the reference,
+    so this only matters for mildly-distorted rectified pairs.
+    """
+    cam = config.camera
+    if abs(cam.k1) < 1e-4:
+        return feats
+    from ..ops.undistort import undistort_points
+
+    xy_u = undistort_points(
+        feats.xy, cam.fx, cam.fy, cam.cx, cam.cy,
+        cam.k1, cam.k2, cam.p1, cam.p2, cam.k3,
+    )
+    out = feats._replace(xy=jnp.where(feats.valid[:, None], xy_u, feats.xy))
+    if shift_uright:
+        du = out.xy[:, 0] - feats.xy[:, 0]
+        out = out._replace(
+            u_right=jnp.where(out.u_right > 0, out.u_right + du, out.u_right)
+        )
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def process_stereo(img_left, img_right, config: SystemConfig, timestamp=0.0):
     """Grayscale stereo pair ``[H, W]`` float32 -> :class:`FrameState`.
@@ -41,6 +85,11 @@ def process_stereo(img_left, img_right, config: SystemConfig, timestamp=0.0):
         lambda im: image_ops.build_pyramid(im, orb.n_levels, orb.scale_factor)
     )(both)
     feat_l, feat_r = extract_from_pyramid_pair(levels_lr, orb)
+    # reference order: FilterKeyPoints/UndistortKeyPoints run before
+    # ComputeStereoMatches (CommonSetup, reference: src/orbframe.cpp:77-78,
+    # 149-173); the bbox applies to both eyes
+    feat_l = _bbox_filter(feat_l, config)
+    feat_r = _bbox_filter(feat_r, config)
     levels_l = [l[0] for l in levels_lr]
     levels_r = [l[1] for l in levels_lr]
 
@@ -51,6 +100,7 @@ def process_stereo(img_left, img_right, config: SystemConfig, timestamp=0.0):
         orb.scale_factor, cam.fx, cam.bf,
     )
     feat_l = feat_l._replace(u_right=u_right, depth=depth)
+    feat_l = _undistort_features(feat_l, config, shift_uright=True)
 
     point_cam = lie.backproject(
         feat_l.xy, jnp.maximum(depth, 1e-6), cam.fx, cam.fy, cam.cx, cam.cy
@@ -81,6 +131,13 @@ def process_rgbd(img, depth_map, config: SystemConfig, timestamp=0.0):
 
     levels = image_ops.build_pyramid(img, orb.n_levels, orb.scale_factor)
     feats = extract_from_pyramid(levels, orb)
+    feats = _bbox_filter(feats, config)
+    # depth is read at the RAW (distorted) pixel, then coordinates are
+    # undistorted and u_right synthesized from the undistorted x — the
+    # reference's order (CommonSetup before ComputeStereoFromRGBD,
+    # reference: src/orbframe.cpp:143-147, 707-728)
+    raw_xy = feats.xy
+    feats = _undistort_features(feats, config)
 
     # DepthMapFactor convention (reference: src/tracking.cpp:136-149):
     # metric depth = raw / DepthMapFactor (factor ~0 means already metric).
@@ -89,8 +146,8 @@ def process_rgbd(img, depth_map, config: SystemConfig, timestamp=0.0):
     dm = jnp.asarray(depth_map, jnp.float32) * jnp.float32(scale)
 
     h, w = dm.shape
-    u = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, w - 1)
-    v = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, h - 1)
+    u = jnp.clip(raw_xy[:, 0].astype(jnp.int32), 0, w - 1)
+    v = jnp.clip(raw_xy[:, 1].astype(jnp.int32), 0, h - 1)
     d = dm[v, u]
     ok = (d > 0) & feats.valid
     depth = jnp.where(ok, d, -1.0)
@@ -119,6 +176,7 @@ def process_mono(img, config: SystemConfig, timestamp=0.0):
     orb = config.orb
     levels = image_ops.build_pyramid(img, orb.n_levels, orb.scale_factor)
     feats = extract_from_pyramid(levels, orb)
+    feats = _undistort_features(_bbox_filter(feats, config), config)
     return FrameState(
         features=feats,
         T_cw=jnp.eye(4, dtype=jnp.float32),

@@ -25,6 +25,26 @@ from .slam import StereoSlam
 from .tracking import StereoVisualOdometry
 
 
+def pose_to_geolocation(T, ref_latitude: float, ref_longitude: float,
+                        start_heading: float) -> Geolocation:
+    """Camera pose [4,4] -> WGS84 Geolocation (sendPose, reference:
+    src/selflocalization.cpp:301-328): rotate the camera centre into ENU by
+    the start heading, then offset the WGS84 reference point."""
+    T = np.asarray(T, dtype=np.float64)
+    R, t = T[:3, :3], T[:3, 3]
+    c = -R.T @ t  # camera centre in SLAM world (x right, y down, z fwd)
+    h = start_heading
+    east = c[2] * math.sin(h) + c[0] * math.cos(h)
+    north = c[2] * math.cos(h) - c[0] * math.sin(h)
+    lat, lon = wgs84.from_cartesian(
+        (ref_latitude, ref_longitude), (east, north)
+    )
+    yaw = math.atan2(R[0, 2], R[2, 2])
+    return Geolocation(
+        latitude=lat, longitude=lon, altitude=float(-c[1]), heading=h + yaw
+    )
+
+
 class Selflocalization:
     def __init__(self, config: SystemConfig, od4=None, vocab=None,
                  tracking_only: bool = False):
@@ -77,22 +97,9 @@ class Selflocalization:
     def send_pose(self):
         if not self.slam.trajectory:
             return
-        T = np.asarray(self.slam.trajectory[-1], dtype=np.float64)
-        R, t = T[:3, :3], T[:3, 3]
-        c = -R.T @ t  # camera center in SLAM world (x right, y down, z fwd)
-        # ENU rotation by start heading, then WGS84 around the reference
-        # point (reference: :301-328)
-        h = self.config.start_heading
-        east = c[2] * math.sin(h) + c[0] * math.cos(h)
-        north = c[2] * math.cos(h) - c[0] * math.sin(h)
-        lat, lon = wgs84.from_cartesian(
-            (self.config.ref_latitude, self.config.ref_longitude),
-            (east, north),
-        )
-        yaw = math.atan2(R[0, 2], R[2, 2])
-        self.od4.send(Geolocation(
-            latitude=lat, longitude=lon, altitude=float(-c[1]),
-            heading=h + yaw,
+        self.od4.send(pose_to_geolocation(
+            self.slam.trajectory[-1], self.config.ref_latitude,
+            self.config.ref_longitude, self.config.start_heading,
         ))
 
     def send_map(self):

@@ -464,6 +464,15 @@ class StereoSlam:
         # post-increment counter would age points one keyframe early
         self.map = cull_points(self.map, self.map.next_kf_id - 1)
         if self.n_keyframes >= 1:
+            # triangulate new far/unbound points against covisible KFs —
+            # the stereo mapping thread does this too, not just mono
+            # (CreateNewMapPoints, reference: src/mapping.cpp:280-525,
+            # 10 neighbours for stereo vs 20 mono at :286)
+            from .triangulation import create_new_map_points
+            self.map = create_new_map_points(
+                self.map, int(slot), self.config, n_neighbors=10
+            )
+        if self.n_keyframes >= 1:
             self.map = run_fusion(self.map, slot, self.config)
         if self.n_keyframes >= 2:
             self.map = local_mapping_step(self.map, slot, self.config)

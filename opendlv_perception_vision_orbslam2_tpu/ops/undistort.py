@@ -87,3 +87,48 @@ def remap_bilinear(img, grid):
         + at(y0 + 1, x0 + 1) * fx_ * fy_
     )
     return v
+
+
+def rodrigues(rvec):
+    """Rotation vector -> matrix (cv::Rodrigues for the reference's
+    ``Camera.rx/cv/rz`` relative-rotation flags,
+    reference: src/selflocalization.cpp:486-487)."""
+    theta = jnp.linalg.norm(rvec) + 1e-12
+    k = rvec / theta
+    K = jnp.array([
+        [0.0, -k[2], k[1]],
+        [k[2], 0.0, -k[0]],
+        [-k[1], k[0], 0.0],
+    ])
+    return (
+        jnp.eye(3) + jnp.sin(theta) * K + (1.0 - jnp.cos(theta)) * (K @ K)
+    )
+
+
+def stereo_rectify(R, T, fx_l, fy_l, cx_l, cy_l, fx_r, fy_r, cx_r, cy_r):
+    """Rectifying rotations + shared pinhole for a stereo pair.
+
+    Geometric core of cv::stereoRectify with CALIB_ZERO_DISPARITY
+    (reference: src/selflocalization.cpp:493): both cameras are rotated so
+    their x-axes align with the baseline and share one orientation, making
+    epipolar lines horizontal with equal y.  ``R, T``: pose of the right
+    camera w.r.t. the left (p_r = R p_l + T).  Returns
+    ``(R1, R2, (fx, fy, cx, cy), baseline)`` — new shared intrinsics keep
+    the left focal length and average the principal points (the reference
+    adopts P1's values the same way, :497-501; alpha-cropping is framing
+    only and intentionally omitted).
+    """
+    c2 = -R.T @ T                       # right camera centre in left coords
+    baseline = jnp.linalg.norm(c2)
+    e1 = c2 / (baseline + 1e-12)
+    e1 = jnp.where(e1[0] < 0, -e1, e1)  # +x toward the right camera
+    z_avg = jnp.array([0.0, 0.0, 1.0]) + R.T @ jnp.array([0.0, 0.0, 1.0])
+    e2 = jnp.cross(z_avg, e1)
+    e2 = e2 / (jnp.linalg.norm(e2) + 1e-12)
+    e3 = jnp.cross(e1, e2)
+    R1 = jnp.stack([e1, e2, e3])        # rows: rectified axes in left coords
+    R2 = R1 @ R.T
+    f_new = fx_l
+    cx_new = 0.5 * (cx_l + cx_r)
+    cy_new = 0.5 * (cy_l + cy_r)
+    return R1, R2, (f_new, f_new, cx_new, cy_new), baseline

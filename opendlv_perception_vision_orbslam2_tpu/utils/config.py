@@ -34,6 +34,12 @@ class CameraConfig:
     bf: float = 386.1448         # baseline * fx  (stereo)
     rgb: bool = True
     baseline: float = 0.0
+    # relative rotation (rodrigues vector) of the right camera w.r.t. the
+    # left, for live stereo rectification (``--Camera.rx/cv/rz``,
+    # reference: src/selflocalization.cpp:477-487)
+    rx: float = 0.0
+    cv_rot: float = 0.0
+    rz: float = 0.0
     width: int = 1241
     height: int = 376
 
@@ -100,7 +106,9 @@ class SystemConfig:
     camera_type: str = "stereo"   # "stereo" | "mono" | "rgbd"
     voc_file_path: str = ""
     rectify: bool = False
-    resize: bool = False
+    # image scale factor applied at ingest (reference --resize is a float
+    # scale < 1, src/selflocalization.cpp:279-294, 415)
+    resize: float = 1.0
     ref_latitude: float = 0.0
     ref_longitude: float = 0.0
     start_heading: float = 0.0
@@ -118,6 +126,7 @@ _CAMERA_KEYS = {
     "fx": "fx", "fy": "fy", "cx": "cx", "cy": "cy",
     "k1": "k1", "k2": "k2", "k3": "k3", "p1": "p1", "p2": "p2",
     "fps": "fps", "bf": "bf", "RGB": "rgb", "baseline": "baseline",
+    "rx": "rx", "cv": "cv_rot", "rz": "rz",
 }
 
 
@@ -208,7 +217,7 @@ def config_from_flags(argv_or_flags) -> SystemConfig:
         ("cameraType", "camera_type", str),
         ("vocFilePath", "voc_file_path", str),
         ("rectify", "rectify", bool),
-        ("resize", "resize", bool),
+        ("resize", "resize", float),
         ("refLatitude", "ref_latitude", float),
         ("refLongitude", "ref_longitude", float),
         ("startHeading", "start_heading", float),

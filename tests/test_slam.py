@@ -50,3 +50,32 @@ def test_stereo_slam_on_synthetic_sequence():
         list(np.asarray(gt_poses)), align=False,
     )
     assert ate < 0.10, f"ATE {ate:.3f} m too high"
+
+
+@pytest.mark.slow
+def test_stereo_keyframes_triangulate_far_points():
+    """The stereo mapping stage must densify beyond the close stereo-depth
+    band via covisible triangulation (CreateNewMapPoints, reference:
+    src/mapping.cpp:280-525) — far points anchor rotation and loop
+    geometry."""
+    cfg = _config()
+    th_far = cfg.tracking.th_depth * cfg.camera.baseline_m   # 17.5 m
+    n_frames = 14
+    lefts, rights, gt_poses, world = synthetic.render_stereo_sequence(
+        cfg, n_frames=n_frames, n_points=500, seed=5, step=0.25
+    )
+    slam = StereoSlam(cfg)
+    for i in range(n_frames):
+        slam.process(lefts[i], rights[i], timestamp=i * 0.1)
+
+    pts = np.asarray(slam.map.pt_pos)[np.asarray(slam.map.pt_valid)]
+    # world frame == first camera frame: z is distance along the optical axis
+    far = pts[:, 2] > th_far + 1.0
+    assert far.sum() > 30, f"only {far.sum()} far map points triangulated"
+    # far points must be real geometry, not junk: match nearest world point.
+    # Triangulation depth noise grows as z^2/(b*f) (~0.6 m at z=20 with the
+    # few-metre keyframe baselines here), so gate on RELATIVE range error.
+    wpts = np.asarray(world.points)
+    d = np.linalg.norm(pts[far][:, None, :] - wpts[None, :, :], axis=-1)
+    rel = d.min(axis=1) / pts[far][:, 2]
+    assert np.median(rel) < 0.04, f"median far-point rel error {np.median(rel):.3f}"
