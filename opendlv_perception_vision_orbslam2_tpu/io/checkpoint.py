@@ -25,6 +25,19 @@ def load_map(path: str) -> MapState:
     data = np.load(path)
     kwargs = {}
     for name in MapState._fields:
-        a = jnp.asarray(data[name])
-        kwargs[name] = a
-    return MapState(**kwargs)
+        if name in data:
+            kwargs[name] = jnp.asarray(data[name])
+    m = MapState(**kwargs)
+    if m.loop_valid is None:   # checkpoint predates persistent loop edges
+        from ..models.map_state import LOOP_EDGE_CAP
+
+        m = m._replace(
+            loop_i=jnp.zeros((LOOP_EDGE_CAP,), jnp.int32),
+            loop_j=jnp.zeros((LOOP_EDGE_CAP,), jnp.int32),
+            loop_T=jnp.tile(
+                jnp.eye(4, dtype=jnp.float32), (LOOP_EDGE_CAP, 1, 1)
+            ),
+            loop_s=jnp.ones((LOOP_EDGE_CAP,), jnp.float32),
+            loop_valid=jnp.zeros((LOOP_EDGE_CAP,), bool),
+        )
+    return m

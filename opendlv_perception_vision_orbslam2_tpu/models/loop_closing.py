@@ -37,6 +37,7 @@ from .map_state import MapState, recompute_covisibility
 
 COVIS_CONSISTENCY_TH = 3    # reference: src/loopclosing.cpp:35
 MIN_LOOP_INLIERS = 20       # reference: src/loopclosing.cpp:344
+MIN_LOOP_TOTAL = 40         # region-projection gate (reference: :391-397)
 ESSENTIAL_COVIS_MIN = 100   # strong-edge weight (reference: src/orboptimizer.cpp:962)
 N_SIM3_HYPOTHESES = 128
 
@@ -68,15 +69,82 @@ def loop_candidates(m: MapState, db: KeyFrameDatabase, kf_slot,
 class LoopMatch(NamedTuple):
     ok: jnp.ndarray          # [] bool
     T_rel: jnp.ndarray       # [4, 4]: corrected T_cur_cw = T_rel @ T_cand_cw
-    n_inliers: jnp.ndarray   # [] int32
+    s_rel: jnp.ndarray       # [] scale of the relative Sim3 (1 for stereo)
+    n_inliers: jnp.ndarray   # [] int32 (GN-refined 3D-3D inliers)
+    n_total: jnp.ndarray     # [] int32 loop-region projection matches
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
+def _sim3_gn_refine(x_b, x_a, uv_a, uv_b, w, R0, t0, s0, cam,
+                    fix_scale: bool, n_iters: int = 8):
+    """Small Gauss-Newton refine of the relative Sim3 on weighted 3D-3D
+    pairs via mutual reprojection residuals — the OptimizeSim3 role
+    (reference: src/orboptimizer.cpp:1064-1261: single Sim3 vertex with
+    bidirectional projection edges).  Parameters: (rho, phi, sigma)."""
+
+    def params_to_sim3(dx):
+        R = lie.exp_so3(dx[3:6]) @ R0
+        t = t0 + dx[:3]
+        s = s0 * jnp.exp(dx[6])
+        return R, t, s
+
+    def residuals(dx):
+        R, t, s = params_to_sim3(dx)
+        x_in_a = s * (x_b @ R.T) + t
+        Ri, ti, si = lie.sim3_inverse(R, t, s)
+        x_in_b = si * (x_a @ Ri.T) + ti
+
+        def proj(x):
+            z = jnp.maximum(x[..., 2], 1e-3)
+            return jnp.stack(
+                [cam.fx * x[..., 0] / z + cam.cx,
+                 cam.fy * x[..., 1] / z + cam.cy], -1
+            )
+
+        r = jnp.concatenate(
+            [(proj(x_in_a) - uv_a), (proj(x_in_b) - uv_b)], axis=0
+        )                                               # [2N, 2]
+        return r.reshape(-1)
+
+    ww = jnp.sqrt(jnp.concatenate([w, w]))
+    ww2 = jnp.repeat(ww, 2)
+
+    def step(dx, _):
+        r = residuals(dx) * ww2
+        J = jax.jacfwd(residuals)(dx) * ww2[:, None]
+        if fix_scale:
+            J = J.at[:, 6].set(0.0)   # remove sigma from the system
+        H = J.T @ J + 1e-6 * jnp.eye(7)
+        g = J.T @ r
+        if fix_scale:
+            H = H.at[6, 6].add(1.0)
+            g = g.at[6].set(0.0)
+        d = jnp.linalg.solve(H, -g)
+        d = jnp.where(jnp.all(jnp.isfinite(d)), d, 0.0)
+        return dx + d, None
+
+    dx, _ = jax.lax.scan(step, jnp.zeros((7,)), None, length=n_iters)
+    return params_to_sim3(dx)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
 def compute_loop_transform(m: MapState, kf_nodes, cur_slot, cand_slot, key,
-                           config: SystemConfig) -> LoopMatch:
-    """BoW match the two keyframes and solve the relative SE3 by batched
-    Horn RANSAC over 3-point sets (Sim3Solver equivalent with fixed scale,
-    reference: src/sim3solver.cpp:154-221, src/loopclosing.cpp:276-350)."""
+                           config: SystemConfig,
+                           fix_scale: bool = True) -> LoopMatch:
+    """Relative Sim(3) between the current and candidate keyframes.
+
+    Stages mirror LoopClosing::ComputeSim3 (reference:
+    src/loopclosing.cpp:226-398):
+    1. BoW 3D-3D pairs + batched Horn RANSAC (Sim3Solver, reference:
+       src/sim3solver.cpp:154-221; scale solved when ``fix_scale`` is False).
+    2. SearchBySim3-style match growth: project each side's map points into
+       the other under the estimate, scale-gated Hamming, mutual agreement
+       (reference: src/orbmatcher.cpp:1110-1336).
+    3. Gauss-Newton Sim3 refine on the grown inliers (OptimizeSim3,
+       reference: src/orboptimizer.cpp:1064-1261), >= 20 inliers.
+    4. Loop-region projection gate: candidate + covisible group's points
+       projected through the corrected pose must yield >= 40 matches
+       (SearchByProjection(Scw), reference: src/loopclosing.cpp:352-397).
+    """
     cam = config.camera
     P = m.pt_capacity
     F = m.feat_capacity
@@ -100,20 +168,24 @@ def compute_loop_transform(m: MapState, kf_nodes, cur_slot, cand_slot, key,
     x_a = lie.transform_points(m.kf_T_cw[cur_slot][None], p_w_a[None])[0]
     x_b = lie.transform_points(m.kf_T_cw[cand_slot][None], p_w_b[None])[0]
 
-    # RANSAC over 3-point sets
+    # --- stage 1: RANSAC over 3-point sets --------------------------------
     B = N_SIM3_HYPOTHESES
     logits = jnp.log(pair_ok.astype(jnp.float32) + 1e-9)
     sets = jax.random.categorical(key, logits, shape=(B, 3))
     sets_ok = jnp.all(jnp.take(pair_ok, sets), axis=1)
 
-    R_h, t_h, _ = jax.vmap(
-        lambda s: horn_align(x_b[s], x_a[s], fix_scale=True)
+    R_h, t_h, s_h = jax.vmap(
+        lambda s: horn_align(x_b[s], x_a[s], fix_scale=fix_scale)
     )(sets)
 
     # inlier check: mutual reprojection (reference: src/sim3solver.cpp:354-394)
-    x_b_in_a = jnp.einsum("bij,nj->bni", R_h, x_b) + t_h[:, None, :]
+    x_b_in_a = s_h[:, None, None] * jnp.einsum(
+        "bij,nj->bni", R_h, x_b
+    ) + t_h[:, None, :]
     Rt = jnp.swapaxes(R_h, 1, 2)
-    x_a_in_b = jnp.einsum("bij,bnj->bni", Rt, x_a[None] - t_h[:, None, :])
+    x_a_in_b = jnp.einsum(
+        "bij,bnj->bni", Rt, x_a[None] - t_h[:, None, :]
+    ) / s_h[:, None, None]
 
     def reproj_err(x_cam, uv_ref):
         z = jnp.maximum(x_cam[..., 2], 1e-3)
@@ -133,33 +205,153 @@ def compute_loop_transform(m: MapState, kf_nodes, cur_slot, cand_slot, key,
     best = jnp.argmax(counts)
     best_inl = inl[best]
 
-    # refine on all inliers (2 Horn rounds)
+    # Horn re-fit on the winning inlier set
     w = best_inl.astype(jnp.float32)
-    R1, t1, _ = horn_align(x_b, x_a, w, fix_scale=True)
-    x1 = jnp.einsum("ij,nj->ni", R1, x_b) + t1
-    e1 = reproj_err(x1, uv_a)
-    w2 = (e1 <= 9.21).astype(jnp.float32) * w
-    R2, t2, _ = horn_align(x_b, x_a, w2, fix_scale=True)
+    R1, t1, s1 = horn_align(x_b, x_a, w, fix_scale=fix_scale)
 
-    n_inl = counts[best]
-    T_ab = lie.make_T(R2, t2)            # maps cand-camera -> cur-camera
-    return LoopMatch(ok=n_inl >= MIN_LOOP_INLIERS, T_rel=T_ab,
-                     n_inliers=n_inl)
+    # --- stage 2: SearchBySim3 match growth -------------------------------
+    # project candidate KF's bound points into the current KF under the
+    # estimate and vice versa; accept mutual best Hamming matches inside a
+    # scale-gated radius (reference: src/orbmatcher.cpp:1110-1336)
+    from ..ops.hamming import MAX_DIST, TH_HIGH, hamming_matrix
+
+    bind_b_raw = m.kf_obs_point[cand_slot]
+    has_a = (bind_a >= 0) & m.pt_valid[jnp.clip(bind_a, 0, P - 1)] \
+        & m.kf_feat_valid[cur_slot]
+    has_b = (bind_b_raw >= 0) & m.pt_valid[jnp.clip(bind_b_raw, 0, P - 1)] \
+        & m.kf_feat_valid[cand_slot]
+    xb_all = lie.transform_points(
+        m.kf_T_cw[cand_slot][None],
+        m.pt_pos[jnp.clip(bind_b_raw, 0, P - 1)][None],
+    )[0]
+    xa_all = lie.transform_points(
+        m.kf_T_cw[cur_slot][None],
+        m.pt_pos[jnp.clip(bind_a, 0, P - 1)][None],
+    )[0]
+    xb_in_a = s1 * (xb_all @ R1.T) + t1
+    Ri1, ti1, si1 = lie.sim3_inverse(R1, t1, s1)
+    xa_in_b = si1 * (xa_all @ Ri1.T) + ti1
+
+    def proj_uv(x):
+        z = jnp.maximum(x[..., 2], 1e-3)
+        return jnp.stack(
+            [cam.fx * x[..., 0] / z + cam.cx,
+             cam.fy * x[..., 1] / z + cam.cy], -1
+        ), x[..., 2] > 0.1
+
+    uvb_in_a, zb_ok = proj_uv(xb_in_a)        # [F, 2] cand pts in cur image
+    uva_in_b, za_ok = proj_uv(xa_in_b)
+    scale_a = jnp.power(
+        jnp.float32(config.orb.scale_factor),
+        m.kf_octave[cur_slot].astype(jnp.float32),
+    )
+    scale_b = jnp.power(
+        jnp.float32(config.orb.scale_factor),
+        m.kf_octave[cand_slot].astype(jnp.float32),
+    )
+    # radius 7.5 px * octave scale of the TARGET feature (reference th=7.5)
+    d2_a = jnp.sum(
+        (m.kf_xy[cur_slot][:, None, :] - uvb_in_a[None, :, :]) ** 2, -1
+    )                                           # [Fa, Fb]
+    d2_b = jnp.sum(
+        (m.kf_xy[cand_slot][:, None, :] - uva_in_b[None, :, :]) ** 2, -1
+    )                                           # [Fb, Fa]
+    win_a = d2_a <= (7.5 * scale_a[:, None]) ** 2
+    win_b = d2_b <= (7.5 * scale_b[:, None]) ** 2
+    ham = hamming_matrix(m.kf_desc[cur_slot], m.kf_desc[cand_slot])  # [Fa, Fb]
+    big = MAX_DIST + 1
+    gate_ab = (
+        win_a & win_b.T & (ham <= TH_HIGH)
+        & m.kf_feat_valid[cur_slot][:, None] & has_b[None, :]
+        & zb_ok[None, :] & za_ok[:, None] & has_a[:, None]
+    )
+    dg = jnp.where(gate_ab, ham, big)
+    best_b_for_a = jnp.argmin(dg, axis=1)
+    best_a_for_b = jnp.argmin(dg, axis=0)
+    mutual = (
+        jnp.take(best_a_for_b, best_b_for_a) == jnp.arange(F)
+    ) & (jnp.take_along_axis(dg, best_b_for_a[:, None], 1)[:, 0] <= TH_HIGH)
+
+    # grown 3D-3D pairs: cur point i <-> cand point best_b_for_a[i]
+    grown_b = jnp.clip(m.kf_obs_point[cand_slot][best_b_for_a], 0, P - 1)
+    xg_b = lie.transform_points(
+        m.kf_T_cw[cand_slot][None], m.pt_pos[grown_b][None]
+    )[0]
+    uvg_b = m.kf_xy[cand_slot][best_b_for_a]
+    pair2 = mutual | best_inl               # union with RANSAC inliers
+    x_b2 = jnp.where(best_inl[:, None], x_b, xg_b)
+    uv_b2 = jnp.where(best_inl[:, None], uv_b, uvg_b)
+
+    # --- stage 3: GN Sim3 refine + inlier recount -------------------------
+    w2 = pair2.astype(jnp.float32)
+    R2, t2, s2 = _sim3_gn_refine(
+        x_b2, x_a, uv_a, uv_b2, w2, R1, t1, s1, cam, fix_scale
+    )
+    x2 = s2 * (x_b2 @ R2.T) + t2
+    e2a = reproj_err(x2, uv_a)
+    Ri2, ti2, si2 = lie.sim3_inverse(R2, t2, s2)
+    x2b = si2 * (xa_all @ Ri2.T) + ti2
+    e2b = reproj_err(x2b, uv_b2)
+    inl2 = pair2 & (e2a <= 9.21) & (e2b <= 9.21)
+    n_inl = jnp.sum(inl2)
+
+    # --- stage 4: loop-region projection gate -----------------------------
+    # points observed by the candidate or its covisible group, projected
+    # into the current frame through the corrected pose (reference
+    # :352-397: nTotalMatches >= 40)
+    group = (m.covis[cand_slot] > 0) | (
+        jnp.arange(m.kf_capacity) == cand_slot
+    )
+    obs_masked = jnp.where(
+        (group[:, None] & (m.kf_obs_point >= 0)),
+        jnp.clip(m.kf_obs_point, 0, P - 1), P - 1,
+    )
+    region = jnp.zeros((P,), bool).at[obs_masked.reshape(-1)].set(True)
+    region = region.at[P - 1].set(False) & m.pt_valid
+    # corrected current camera: S_cur = S_rel ∘ S_cand
+    x_cand = lie.transform_points(m.kf_T_cw[cand_slot][None], m.pt_pos[None])[0]
+    x_cur = s2 * (x_cand @ R2.T) + t2
+    uv_r, z_ok_r = proj_uv(x_cur)
+    in_img = (
+        (uv_r[:, 0] >= 0) & (uv_r[:, 0] < cam.width)
+        & (uv_r[:, 1] >= 0) & (uv_r[:, 1] < cam.height)
+    )
+    cand_pts = region & z_ok_r & in_img
+    d2_r = jnp.sum(
+        (m.kf_xy[cur_slot][:, None, :] - uv_r[None, :, :]) ** 2, -1
+    )                                            # [F, P] feature x point
+    ham_r = hamming_matrix(m.kf_desc[cur_slot], m.pt_desc)
+    gate_r = (
+        (d2_r <= (10.0 * scale_a[:, None]) ** 2) & (ham_r <= TH_HIGH)
+        & m.kf_feat_valid[cur_slot][:, None] & cand_pts[None, :]
+    )
+    matched_feat = jnp.any(gate_r, axis=1)
+    n_total = jnp.sum(matched_feat)
+
+    T_ab = lie.make_T(R2, t2)            # SE3 part: maps cand-cam -> cur-cam
+    ok = (n_inl >= MIN_LOOP_INLIERS) & (n_total >= MIN_LOOP_TOTAL)
+    return LoopMatch(ok=ok, T_rel=T_ab, s_rel=s2, n_inliers=n_inl,
+                     n_total=n_total)
 
 
 class EssentialEdges(NamedTuple):
     e_i: jnp.ndarray
     e_j: jnp.ndarray
     e_T: jnp.ndarray
+    e_s: jnp.ndarray
     e_w: jnp.ndarray
     e_valid: jnp.ndarray
 
 
 @jax.jit
-def build_essential_edges(m: MapState, cur_slot, cand_slot, T_loop):
-    """Strong covisibility edges + temporal chain + the loop edge
-    (reference: src/orboptimizer.cpp:875-1000)."""
+def build_essential_edges(m: MapState, cur_slot, cand_slot, T_loop, s_loop):
+    """Strong covisibility edges + temporal chain + the NEW loop edge + all
+    PERSISTENT loop edges from earlier closures (reference:
+    src/orboptimizer.cpp:875-1000 — the reference inserts every keyframe's
+    stored loop edges into each essential-graph solve,
+    src/orbkeyframe.cpp:458-470)."""
     K = m.kf_capacity
+    L = m.loop_valid.shape[0]
     ids = jnp.where(m.kf_valid, m.kf_id, jnp.iinfo(jnp.int32).max)
 
     # temporal chain: each KF connects to the KF with the next-lower id
@@ -178,30 +370,41 @@ def build_essential_edges(m: MapState, cur_slot, cand_slot, T_loop):
     ci, cj = jnp.nonzero(covis_mask, size=4 * K, fill_value=0)
     c_ok = covis_mask[ci, cj]
 
-    e_i = jnp.concatenate([order, ci, cur_slot[None]])
-    e_j = jnp.concatenate([nxt, cj, cand_slot[None]])
-    e_valid = jnp.concatenate([chain_ok, c_ok, jnp.array([True])])
+    # persistent loop edges (both endpoints must still be valid)
+    lp_ok = m.loop_valid & jnp.take(m.kf_valid, m.loop_i) \
+        & jnp.take(m.kf_valid, m.loop_j)
+
+    e_i = jnp.concatenate([order, ci, m.loop_i, cur_slot[None]])
+    e_j = jnp.concatenate([nxt, cj, m.loop_j, cand_slot[None]])
+    e_valid = jnp.concatenate([chain_ok, c_ok, lp_ok, jnp.array([True])])
     T_i = m.kf_T_cw[e_i]
     T_j = m.kf_T_cw[e_j]
     e_T = jnp.einsum("eij,ejk->eik", T_i, jax.vmap(lie.inv_T)(T_j))
-    # loop edge uses the measured corrected relative pose:
-    # T_cur_corrected = T_loop @ T_cand  =>  T_ij = T_loop
+    e_s = jnp.ones((e_i.shape[0],))
+    # measured relative similarities for the loop edges: S_ij = S_rel
+    e_T = jax.lax.dynamic_update_slice(e_T, m.loop_T, (K + 4 * K, 0, 0))
+    e_s = jax.lax.dynamic_update_slice(e_s, m.loop_s, (K + 4 * K,))
     e_T = e_T.at[-1].set(T_loop)
+    e_s = e_s.at[-1].set(s_loop)
     e_w = jnp.concatenate([
-        jnp.ones((K,)), jnp.ones((4 * K,)), jnp.array([5.0])
+        jnp.ones((K,)), jnp.ones((4 * K,)), jnp.full((L,), 5.0),
+        jnp.array([5.0]),
     ])
-    return EssentialEdges(e_i=e_i, e_j=e_j, e_T=e_T, e_w=e_w, e_valid=e_valid)
+    return EssentialEdges(e_i=e_i, e_j=e_j, e_T=e_T, e_s=e_s, e_w=e_w,
+                          e_valid=e_valid)
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def correct_loop(m: MapState, cur_slot, cand_slot, T_loop,
-                 n_iters: int = 15) -> MapState:
-    """Essential-graph optimization + point correction via reference KFs
-    (reference: src/loopclosing.cpp:400-585 + RunGlobalBundleAdjustment's
-    spanning-tree propagation :645-750)."""
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def correct_loop(m: MapState, cur_slot, cand_slot, T_loop, s_loop,
+                 n_iters: int = 15, fix_scale: bool = True) -> MapState:
+    """Essential-graph Sim(3) optimization + point correction via reference
+    KFs (reference: src/loopclosing.cpp:400-585 + RunGlobalBundleAdjustment's
+    spanning-tree propagation :645-750).  With ``fix_scale=False`` (mono)
+    the per-vertex scales absorb scale drift and points are corrected by the
+    full similarity."""
     K, P = m.kf_capacity, m.pt_capacity
     T_old = m.kf_T_cw
-    edges = build_essential_edges(m, cur_slot, cand_slot, T_loop)
+    edges = build_essential_edges(m, cur_slot, cand_slot, T_loop, s_loop)
     fixed = jnp.zeros((K,), bool).at[cand_slot].set(True)
     prob = PoseGraphProblem(
         T=T_old,
@@ -209,17 +412,29 @@ def correct_loop(m: MapState, cur_slot, cand_slot, T_loop,
         v_fixed=fixed,
         e_i=edges.e_i, e_j=edges.e_j, e_T_ij=edges.e_T,
         e_weight=edges.e_w, e_valid=edges.e_valid,
+        e_s_ij=edges.e_s,
     )
-    T_new = optimize_pose_graph(prob, n_iters=n_iters)
+    T_new, s_new = optimize_pose_graph(prob, n_iters=n_iters,
+                                       fix_scale=fix_scale)
     T_new = jnp.where(m.kf_valid[:, None, None], T_new, T_old)
+    s_new = jnp.where(m.kf_valid, s_new, 1.0)
 
-    # correct points through their reference keyframe:
-    # p' = T_wc_new[ref] @ T_cw_old[ref] @ p
+    # correct points through their reference keyframe with the full
+    # similarity: p' = S_wc_new[ref] ∘ S_cw_old[ref] (reference CorrectLoop
+    # point update, src/loopclosing.cpp:467-500)
     ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
-    corr = jnp.einsum(
-        "kij,kjl->kil", jax.vmap(lie.inv_T)(T_new), T_old
-    )                                                  # [K, 4, 4]
-    pc = jnp.einsum("pij,pj->pi", corr[ref, :3, :3], m.pt_pos) + corr[ref, :3, 3]
+    R_new = T_new[:, :3, :3]
+    t_sim = T_new[:, :3, 3] * s_new[:, None]    # Sim3 translation
+    Rw, tw, sw = lie.sim3_inverse(R_new, t_sim, s_new)   # [K,...] S_wc_new
+    R_old = T_old[:, :3, :3]
+    t_old = T_old[:, :3, 3]
+    # S_corr = S_wc_new ∘ S_cw_old (old scale = 1)
+    Rc, tc, sc = lie.sim3_compose(
+        Rw, tw, sw, R_old, t_old, jnp.ones((K,))
+    )
+    pc = sc[ref, None] * jnp.einsum(
+        "pij,pj->pi", Rc[ref], m.pt_pos
+    ) + tc[ref]
     pt_pos = jnp.where(m.pt_valid[:, None], pc, m.pt_pos)
 
     m = m._replace(kf_T_cw=T_new, pt_pos=pt_pos)
@@ -232,6 +447,10 @@ class LoopCloser:
 
     def __init__(self, config: SystemConfig):
         self.config = config
+        # stereo/RGB-D fixes the Sim3 scale; monocular solves it, the whole
+        # point of Sim3 loop closure (reference: src/sim3solver.cpp:45-47,
+        # src/orboptimizer.cpp:830 _fix_scale)
+        self.fix_scale = config.camera_type != "mono"
         self.prev_groups: list[set[int]] = []
         self.prev_counts: list[int] = []
         self.last_loop_kf_id = -10**9
@@ -272,12 +491,22 @@ class LoopCloser:
 
         self.key, sub = jax.random.split(self.key)
         lm = compute_loop_transform(
-            m, kf_nodes, kf_slot, accepted, sub, self.config
+            m, kf_nodes, kf_slot, accepted, sub, self.config,
+            self.fix_scale,
         )
         if not bool(lm.ok):
             return m, False, None
 
-        m = correct_loop(m, kf_slot, accepted, lm.T_rel)
+        m = correct_loop(m, kf_slot, accepted, lm.T_rel, lm.s_rel,
+                         fix_scale=self.fix_scale)
+        # persist the accepted loop edge for every later essential-graph
+        # solve (reference: src/orbkeyframe.cpp:458-470)
+        from .map_state import add_loop_edge
+
+        m = add_loop_edge(
+            m, jnp.asarray(kf_slot, jnp.int32),
+            jnp.asarray(accepted, jnp.int32), lm.T_rel, lm.s_rel,
+        )
         # full-map refinement (RunGlobalBundleAdjustment, reference:
         # src/loopclosing.cpp:645-750: GBA with 10 iterations after a loop)
         from .global_ba import run_global_ba

@@ -31,6 +31,9 @@ from .frame import FrameState
 COVIS_THRESHOLD = 15   # edge weight gate (reference: src/orbkeyframe.cpp:369)
 
 
+LOOP_EDGE_CAP = 32   # persistent loop-edge capacity
+
+
 class MapState(NamedTuple):
     # --- keyframes (capacity K, feature capacity F) ---
     kf_valid: jnp.ndarray       # [K] bool
@@ -60,6 +63,17 @@ class MapState(NamedTuple):
     # --- counters ---
     next_kf_id: jnp.ndarray     # [] int32
     next_pt_id: jnp.ndarray     # [] int32 (ids only for bookkeeping)
+    # --- persistent loop edges (capacity L) ---
+    # The reference keeps accepted loop edges on keyframes forever and feeds
+    # them into every later essential-graph solve (reference:
+    # src/orbkeyframe.cpp:458-470, src/orboptimizer.cpp:875-914); here they
+    # are a small global edge list: (cur_slot, cand_slot, S_rel) with
+    # S_rel = Sim3 mapping cand-camera coords into cur-camera coords.
+    loop_i: jnp.ndarray = None        # [L] int32 current-KF slot
+    loop_j: jnp.ndarray = None        # [L] int32 matched-KF slot
+    loop_T: jnp.ndarray = None        # [L, 4, 4] SE3 part of S_rel
+    loop_s: jnp.ndarray = None        # [L] scale of S_rel
+    loop_valid: jnp.ndarray = None    # [L] bool
 
     @property
     def kf_capacity(self) -> int:
@@ -101,6 +115,27 @@ def empty_map(kf_capacity: int, pt_capacity: int, feat_capacity: int) -> MapStat
         covis=jnp.zeros((K, K), jnp.int32),
         next_kf_id=jnp.asarray(0, jnp.int32),
         next_pt_id=jnp.asarray(0, jnp.int32),
+        loop_i=jnp.zeros((LOOP_EDGE_CAP,), jnp.int32),
+        loop_j=jnp.zeros((LOOP_EDGE_CAP,), jnp.int32),
+        loop_T=jnp.tile(jnp.eye(4, dtype=jnp.float32), (LOOP_EDGE_CAP, 1, 1)),
+        loop_s=jnp.ones((LOOP_EDGE_CAP,), jnp.float32),
+        loop_valid=jnp.zeros((LOOP_EDGE_CAP,), bool),
+    )
+
+
+@jax.jit
+def add_loop_edge(m: MapState, cur_slot, cand_slot, T_rel, s_rel) -> MapState:
+    """Record an accepted loop edge (AddLoopEdge, reference:
+    src/orbkeyframe.cpp:458-470) in the first free slot; silently drops when
+    the edge list is full (oldest edges matter most and stay)."""
+    slot = jnp.argmin(m.loop_valid.astype(jnp.int32))
+    free = ~m.loop_valid[slot]
+    return m._replace(
+        loop_i=m.loop_i.at[slot].set(jnp.where(free, cur_slot, m.loop_i[slot])),
+        loop_j=m.loop_j.at[slot].set(jnp.where(free, cand_slot, m.loop_j[slot])),
+        loop_T=m.loop_T.at[slot].set(jnp.where(free, T_rel, m.loop_T[slot])),
+        loop_s=m.loop_s.at[slot].set(jnp.where(free, s_rel, m.loop_s[slot])),
+        loop_valid=m.loop_valid.at[slot].set(True),
     )
 
 
@@ -373,6 +408,12 @@ def evict_oldest_if_full(m: MapState) -> MapState:
     slots first."""
     full = jnp.all(m.kf_valid)
     ids = jnp.where(m.kf_valid, m.kf_id, jnp.iinfo(jnp.int32).max)
+    # never evict loop-closure anchors: their edges feed every later
+    # essential-graph solve (persistent loop edges)
+    protected = jnp.zeros((m.kf_capacity,), bool)
+    protected = protected.at[m.loop_i].max(m.loop_valid)
+    protected = protected.at[m.loop_j].max(m.loop_valid)
+    ids = jnp.where(protected, jnp.iinfo(jnp.int32).max, ids)
     oldest = jnp.argmin(ids)
     ids2 = ids.at[oldest].set(jnp.iinfo(jnp.int32).max)
     victim = jnp.argmin(ids2)

@@ -147,3 +147,143 @@ def test_loop_closing_corrects_drift():
     after = err(np.asarray(m.kf_T_cw[closed_at]), gt[closed_at])
     assert before > 0.2, before
     assert after < 0.5 * before, (closed_at, before, after)
+
+
+def test_mono_sim3_pose_graph_recovers_scale_drift():
+    """7-DoF essential graph (fix_scale=False): monocular scale drift
+    injected along the odometry chain must be absorbed by the loop edge's
+    measured relative scale (OptimizeEssentialGraph Sim3 vertices,
+    reference: src/orboptimizer.cpp:799-1061), recovering the end-of-loop
+    scale to <2%."""
+    from opendlv_perception_vision_orbslam2_tpu.optim.pose_graph import (
+        PoseGraphProblem,
+        optimize_pose_graph,
+    )
+
+    n = 20
+    gt = [_gt_pose(i) for i in range(n)]
+    k_drift = 1.015            # per-edge scale drift; total ~1.33x
+    drifted = [gt[0]]
+    scale_acc = 1.0
+    for i in range(1, n):
+        rel = gt[i] @ np.linalg.inv(gt[i - 1])
+        rel_s = rel.copy()
+        scale_acc *= k_drift
+        rel_s[:3, 3] *= scale_acc     # mono VO: translation at wrong scale
+        drifted.append((rel_s @ drifted[-1]).astype(np.float32))
+
+    K = 32
+    T = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    T[:n] = np.stack(drifted)
+    v_valid = np.zeros(K, bool); v_valid[:n] = True
+    v_fixed = np.zeros(K, bool); v_fixed[0] = True
+
+    e_i, e_j, e_T, e_s, e_w = [], [], [], [], []
+    for i in range(1, n):
+        e_i.append(i); e_j.append(i - 1)
+        e_T.append(drifted[i] @ np.linalg.inv(drifted[i - 1]))
+        e_s.append(1.0); e_w.append(1.0)
+    # loop edge: S_rel between last and first vertex as the Sim3 solver
+    # would measure it — true relative pose, relative scale = accumulated
+    # drift of the current vertex (its local map is scale_acc too large)
+    e_i.append(n - 1); e_j.append(0)
+    e_T.append(gt[n - 1] @ np.linalg.inv(gt[0]))
+    e_s.append(float(scale_acc)); e_w.append(5.0)
+
+    E = len(e_i)
+    prob = PoseGraphProblem(
+        T=jnp.asarray(T),
+        v_valid=jnp.asarray(v_valid),
+        v_fixed=jnp.asarray(v_fixed),
+        e_i=jnp.asarray(e_i, jnp.int32),
+        e_j=jnp.asarray(e_j, jnp.int32),
+        e_T_ij=jnp.asarray(np.stack(e_T).astype(np.float32)),
+        e_weight=jnp.asarray(e_w, jnp.float32),
+        e_valid=jnp.ones((E,), bool),
+        e_s_ij=jnp.asarray(e_s, jnp.float32),
+    )
+    T_opt, s_opt = optimize_pose_graph(prob, n_iters=25, fix_scale=False)
+    s_opt = np.asarray(s_opt)
+    # the end vertex's scale must recover the injected drift to < 2%
+    assert abs(s_opt[n - 1] - scale_acc) / scale_acc < 0.02, (
+        s_opt[n - 1], scale_acc)
+    # and the SE3-recovered end pose must be far closer to ground truth
+    def terr(T_est):
+        return np.linalg.norm(
+            np.asarray(T_est)[:3, 3] - gt[n - 1][:3, 3]
+        ) / np.linalg.norm(gt[n - 1][:3, 3])
+    assert terr(T_opt[n - 1]) < 0.25 * terr(drifted[n - 1])
+
+
+def test_loop_rejects_distant_dissimilar_geometry():
+    """Two keyframes on opposite sides of the ring (appearance overlap
+    impossible) must NOT pass the Sim3 + region-projection gates —
+    guards the >=40-total acceptance (reference: src/loopclosing.cpp:391)."""
+    from opendlv_perception_vision_orbslam2_tpu.models.loop_closing import (
+        compute_loop_transform,
+    )
+
+    pts, descs = _ring_world()
+    gt = [_gt_pose(i) for i in range(N_KF)]
+    m = ms.empty_map(32, 32768, F)
+    kf_nodes = -jnp.ones((32, F), jnp.int32)
+    slots = []
+    for i in (0, LAP // 2):        # opposite sides of the circle
+        frame, idx = _frame_for(gt[i], gt[i], pts, descs)
+        m, slot = ms.insert_keyframe(
+            m, frame, -jnp.ones((F,), jnp.int32), 20.0
+        )
+        slots.append(int(slot))
+    lm = compute_loop_transform(
+        m, kf_nodes, slots[0], slots[1], jax.random.PRNGKey(0), CFG, True
+    )
+    assert not bool(lm.ok), (
+        int(lm.n_inliers), int(lm.n_total))
+
+
+def test_persistent_loop_edges_protected_and_reused():
+    """Accepted loop edges persist in MapState, are injected into later
+    essential-graph builds, and protect their anchor keyframes from
+    capacity eviction (reference keeps loop edges on keyframes forever,
+    src/orbkeyframe.cpp:458-470)."""
+    from opendlv_perception_vision_orbslam2_tpu.models.loop_closing import (
+        build_essential_edges,
+    )
+
+    m = ms.empty_map(8, 512, 16)
+    # insert 8 tiny keyframes to fill capacity
+    for i in range(8):
+        frame = FrameState(
+            features=empty_features(16),
+            T_cw=jnp.eye(4), point_cam=jnp.zeros((16, 3)),
+            timestamp=jnp.asarray(0.0),
+        )
+        m, slot = ms.insert_keyframe(
+            m, frame, -jnp.ones((16,), jnp.int32), 20.0,
+            min_total_points=0,
+        )
+    T_rel = jnp.eye(4)
+    m = ms.add_loop_edge(m, jnp.asarray(5, jnp.int32),
+                         jnp.asarray(1, jnp.int32), T_rel,
+                         jnp.asarray(1.0))
+    assert int(jnp.sum(m.loop_valid)) == 1
+
+    # stored edge appears in the essential-graph edge list
+    edges = build_essential_edges(
+        m, jnp.asarray(6, jnp.int32), jnp.asarray(0, jnp.int32),
+        jnp.eye(4), jnp.asarray(1.0),
+    )
+    ev = np.asarray(edges.e_valid)
+    ei = np.asarray(edges.e_i)
+    ej = np.asarray(edges.e_j)
+    found = any(
+        ev[k] and ei[k] == 5 and ej[k] == 1 for k in range(len(ev))
+    )
+    assert found, "persistent loop edge missing from essential graph"
+
+    # eviction must never pick the loop anchors (slots 1 and 5): with a
+    # full map the victim would be the second-oldest (slot 1) without
+    # protection
+    m2 = ms.evict_oldest_if_full(m)
+    assert bool(m2.kf_valid[1]) and bool(m2.kf_valid[5])
+    assert int(jnp.sum(m2.kf_valid)) == 7   # someone else was evicted

@@ -81,7 +81,9 @@ def test_pose_graph_closes_drifted_loop():
         e_weight=jnp.asarray(e_w, jnp.float32),
         e_valid=jnp.ones((E,), bool),
     )
-    T_opt = np.asarray(optimize_pose_graph(prob, n_iters=15))
+    T_opt, s_opt = optimize_pose_graph(prob, n_iters=15)
+    T_opt = np.asarray(T_opt)
+    np.testing.assert_allclose(np.asarray(s_opt)[:n], 1.0, atol=1e-6)
 
     def end_error(T_all):
         d = np.asarray(lie.log_se3(jnp.asarray(
