@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops import lie
 from ..optim.ba import BAProblem
 from ..optim.gba import global_bundle_adjust
 from ..utils.config import SystemConfig
@@ -64,3 +65,100 @@ def run_global_ba(m: MapState, config: SystemConfig, n_outer: int = 10,
         pt_pos=jnp.where(m.pt_valid[:, None], pts, m.pt_pos),
     )
     return m._replace(covis=recompute_covisibility(m))
+
+
+@jax.jit
+def _merge_gba(m: MapState, T_new, pts_new, snap_T, snap_kf_id,
+               snap_kf_valid, snap_pt_valid, snap_pt_first_kf_id):
+    """Fold a finished GBA snapshot into the CURRENT map.
+
+    Keyframes/points that existed at snapshot time take their optimized
+    values; everything created since rides its anchor's correction — the
+    array form of the reference's spanning-tree propagation after GBA
+    (RunGlobalBundleAdjustment, reference: src/loopclosing.cpp:694-741:
+    children get T_child * T_parent^-1 * T_parent_corrected, points ride
+    their reference keyframe).
+    """
+    K = m.kf_capacity
+    same_kf = m.kf_valid & snap_kf_valid & (m.kf_id == snap_kf_id)
+    # per-slot correction of snapshot keyframes
+    corr = jnp.einsum("kij,kjl->kil", T_new, jax.vmap(lie.inv_T)(snap_T))
+    # anchor = newest snapshot keyframe still alive (temporal parent of all
+    # keyframes added during the solve)
+    anchor = jnp.argmax(jnp.where(same_kf, m.kf_id, -1))
+    corr_a = corr[anchor]
+    # new keyframes keep their relative pose to the anchor
+    T_ride = jnp.einsum(
+        "kij,jl->kil", m.kf_T_cw @ lie.inv_T(snap_T[anchor]), T_new[anchor]
+    )
+    kf_T = jnp.where(
+        same_kf[:, None, None], T_new,
+        jnp.where(m.kf_valid[:, None, None], T_ride, m.kf_T_cw),
+    )
+
+    same_pt = m.pt_valid & snap_pt_valid & (
+        m.pt_first_kf_id == snap_pt_first_kf_id
+    )
+    # new points ride their reference keyframe's correction when that KF is
+    # part of the snapshot, else the anchor's
+    ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
+    ref_corr = jnp.where(same_kf[ref][:, None, None], corr[ref],
+                         corr_a[None])
+    # p' = inv(corr) p in world coords: corr maps old cam -> new cam; world
+    # points move by T_wc_new @ T_cw_old = inv(T_new) @ snap_T ... per-ref:
+    world_corr = jnp.einsum(
+        "kij,kjl->kil", jax.vmap(lie.inv_T)(T_new), snap_T
+    )
+    wc = jnp.where(same_kf[ref][:, None, None], world_corr[ref],
+                   world_corr[anchor][None])
+    p_ride = jnp.einsum("pij,pj->pi", wc[:, :3, :3], m.pt_pos) + wc[:, :3, 3]
+    pt_pos = jnp.where(
+        same_pt[:, None], pts_new,
+        jnp.where(m.pt_valid[:, None], p_ride, m.pt_pos),
+    )
+    m = m._replace(kf_T_cw=kf_T, pt_pos=pt_pos)
+    return m._replace(covis=recompute_covisibility(m))
+
+
+class IncrementalGBA:
+    """Chunked full-map BA: one LM outer iteration per frame between
+    tracking steps — the functional-state equivalent of the reference's
+    detached, abortable GBA thread (P2; reference:
+    src/loopclosing.cpp:576-580, 645-750).  A new loop closure simply drops
+    the instance (abort = discard)."""
+
+    def __init__(self, m: MapState, config: SystemConfig,
+                 n_outer_total: int = 10, cg_iters: int = 40):
+        from ..optim.gba import gba_init_carry
+
+        self.config = config
+        self.prob = extract_global_ba(m, config.orb.scale_factor)
+        self.carry = gba_init_carry(self.prob)
+        self.iters_left = n_outer_total
+        self.cg_iters = cg_iters
+        self.snap_T = m.kf_T_cw
+        self.snap_kf_id = m.kf_id
+        self.snap_kf_valid = m.kf_valid
+        self.snap_pt_valid = m.pt_valid
+        self.snap_pt_first_kf_id = m.pt_first_kf_id
+
+    def step(self) -> bool:
+        """One bounded chunk; returns True when the solve is finished."""
+        from ..optim.gba import global_bundle_adjust_chunk
+
+        cam = self.config.camera
+        self.carry = global_bundle_adjust_chunk(
+            self.prob, self.carry,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+            n_outer=1, cg_iters=self.cg_iters,
+        )
+        self.iters_left -= 1
+        return self.iters_left <= 0
+
+    def merge(self, m: MapState) -> MapState:
+        T_new, pts_new, _, _ = self.carry
+        return _merge_gba(
+            m, T_new, pts_new, self.snap_T, self.snap_kf_id,
+            self.snap_kf_valid, self.snap_pt_valid,
+            self.snap_pt_first_kf_id,
+        )

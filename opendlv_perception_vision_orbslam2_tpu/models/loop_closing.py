@@ -455,6 +455,10 @@ class LoopCloser:
         self.prev_counts: list[int] = []
         self.last_loop_kf_id = -10**9
         self.key = jax.random.PRNGKey(7)
+        # when True the caller schedules the post-loop GBA incrementally
+        # (models/global_ba.IncrementalGBA) instead of blocking here — the
+        # reference's detached GBA thread semantics (P2)
+        self.defer_gba = False
 
     def on_keyframe(self, m: MapState, db: KeyFrameDatabase, kf_nodes,
                     kf_slot: int):
@@ -508,10 +512,12 @@ class LoopCloser:
             jnp.asarray(accepted, jnp.int32), lm.T_rel, lm.s_rel,
         )
         # full-map refinement (RunGlobalBundleAdjustment, reference:
-        # src/loopclosing.cpp:645-750: GBA with 10 iterations after a loop)
-        from .global_ba import run_global_ba
+        # src/loopclosing.cpp:645-750: GBA with 10 iterations after a loop);
+        # deferred mode hands this to the caller's incremental scheduler
+        if not self.defer_gba:
+            from .global_ba import run_global_ba
 
-        m = run_global_ba(m, self.config, n_outer=10)
+            m = run_global_ba(m, self.config, n_outer=10)
         self.last_loop_kf_id = kf_id
         self.prev_groups, self.prev_counts = [], []
         return m, True, m.kf_T_cw[kf_slot]

@@ -225,4 +225,5 @@ class MonocularSlam(StereoSlam):
         self.last_frame = cur
         self.last_bindings = bindings
         self.trajectory.append(T_new)
+        self._service_gba()
         return T_new

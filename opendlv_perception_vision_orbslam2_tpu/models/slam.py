@@ -327,7 +327,9 @@ class StereoSlam:
         self.db = None
         self.kf_nodes = None
         self.loop_closer = None
+        self.pending_gba = None
         self.loops_closed = 0
+        self.pending_gba = None   # in-flight incremental post-loop GBA
         self._reloc_key = jax.random.PRNGKey(11)
 
     def _ensure_vocab(self, frame: FrameState):
@@ -357,6 +359,7 @@ class StereoSlam:
                 jnp.int32,
             )
             self.loop_closer = LoopCloser(self.config)
+            self.loop_closer.defer_gba = True
 
         words, nodes = voc.transform(
             self.vocab, self.map.kf_desc[slot], self.map.kf_feat_valid[slot]
@@ -374,6 +377,21 @@ class StereoSlam:
                 self.loops_closed += 1
                 self.T_cw = self.map.kf_T_cw[slot]
                 self.velocity = jnp.eye(4, dtype=jnp.float32)
+                # schedule the full-map refinement incrementally; a newer
+                # closure aborts (drops) any in-flight solve (reference:
+                # src/loopclosing.cpp:409-420 mbStopGBA)
+                from .global_ba import IncrementalGBA
+
+                self.pending_gba = IncrementalGBA(self.map, self.config)
+
+    def _service_gba(self):
+        """One bounded GBA chunk per frame; merge on completion (the
+        between-frames slice of the reference's detached GBA thread)."""
+        if self.pending_gba is None:
+            return
+        if self.pending_gba.step():
+            self.map = self.pending_gba.merge(self.map)
+            self.pending_gba = None
 
     def _track_reference_keyframe(self, cur: FrameState):
         """BoW-match the frame against its reference keyframe and
@@ -503,6 +521,7 @@ class StereoSlam:
         self.db = None
         self.kf_nodes = None
         self.loop_closer = None
+        self.pending_gba = None
 
     def process(self, img_left, img_right, timestamp: float = 0.0):
         cfg = self.config
@@ -590,4 +609,5 @@ class StereoSlam:
         self.last_frame = cur
         self.last_bindings = bindings
         self.trajectory.append(T_new)
+        self._service_gba()
         return T_new

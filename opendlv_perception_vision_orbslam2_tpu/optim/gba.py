@@ -72,13 +72,18 @@ def _identity(x):
 def gba_core(prob: BAProblem, *, fx: float, fy: float, cx: float,
              cy: float, bf: float, n_outer: int = 10,
              cg_iters: int = 40, fix_first_pose: bool = True,
-             reduce_fn=_identity):
+             reduce_fn=_identity, init_carry=None, return_carry=False):
     """LM with matrix-free Schur-CG inner solves.  Returns (T_opt, pts, cost).
 
     ``reduce_fn`` is applied to every edge-reduction result ([Ko,6] / [P,3] /
     block tensors and scalars).  Single-device: identity.  Sharded: the
     edges split across a mesh axis and ``reduce_fn = psum`` — that ONE hook
     is the entire distribution story (parallel/sharded_ba.py).
+
+    ``init_carry``/``return_carry`` expose the LM state ``(T_opt, pts, lam,
+    cost)`` so the host can run the solve in bounded chunks between frames —
+    the functional-state version of the reference's abortable detached GBA
+    thread (reference: src/loopclosing.cpp:576-580, 645-750).
     """
     Ko = prob.T_opt.shape[0]
     P = prob.pts.shape[0]
@@ -203,9 +208,15 @@ def gba_core(prob: BAProblem, *, fx: float, fy: float, cx: float,
         cost2 = jnp.where(accept, new_cost, prev_cost)
         return (T_keep, pts_keep, lam2, cost2), None
 
-    init = (prob.T_opt, prob.pts, jnp.asarray(1e-4, prob.T_opt.dtype),
-            robust_cost(prob.T_opt, prob.pts))
-    (T_opt, pts, _, cost), _ = jax.lax.scan(outer, init, None, length=n_outer)
+    if init_carry is None:
+        init = (prob.T_opt, prob.pts, jnp.asarray(1e-4, prob.T_opt.dtype),
+                robust_cost(prob.T_opt, prob.pts))
+    else:
+        init = init_carry
+    carry, _ = jax.lax.scan(outer, init, None, length=n_outer)
+    if return_carry:
+        return carry
+    T_opt, pts, _, cost = carry
     return T_opt, pts, cost
 
 
@@ -222,3 +233,30 @@ def global_bundle_adjust(prob: BAProblem, *, fx: float, fy: float, cx: float,
         prob, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf, n_outer=n_outer,
         cg_iters=cg_iters, fix_first_pose=fix_first_pose,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "bf", "n_outer", "cg_iters",
+                     "fix_first_pose"),
+)
+def global_bundle_adjust_chunk(prob: BAProblem, carry, *, fx: float,
+                               fy: float, cx: float, cy: float, bf: float,
+                               n_outer: int = 1, cg_iters: int = 40,
+                               fix_first_pose: bool = True):
+    """Run ``n_outer`` LM iterations from an explicit ``(T, pts, lam, cost)``
+    carry and return the new carry — the bounded-work step of the
+    incremental (non-blocking) GBA.  Pass ``carry=None`` shapes via
+    :func:`gba_init_carry` first."""
+    return gba_core(
+        prob, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf, n_outer=n_outer,
+        cg_iters=cg_iters, fix_first_pose=fix_first_pose,
+        init_carry=carry, return_carry=True,
+    )
+
+
+def gba_init_carry(prob: BAProblem):
+    """Initial LM carry for :func:`global_bundle_adjust_chunk` (cost starts
+    at +inf so the first chunk's accept test always fires)."""
+    return (prob.T_opt, prob.pts, jnp.asarray(1e-4, prob.T_opt.dtype),
+            jnp.asarray(jnp.inf, prob.T_opt.dtype))

@@ -92,3 +92,82 @@ def test_gba_large_problem_smoke():
     # cost must reach the vicinity of the measurement-noise floor
     n_edges = int(np.sum(np.asarray(prob.e_valid)))
     assert float(cost) < 1.0 * n_edges, (float(cost), n_edges)
+
+
+def test_incremental_gba_chunks_and_merge():
+    """IncrementalGBA: bounded per-frame chunks converge like the one-shot
+    solve, and the merge folds results into a map that GREW during the solve
+    (new keyframe rides the anchor correction) — the functional-state
+    version of the reference's detached abortable GBA thread
+    (reference: src/loopclosing.cpp:576-580, 645-750)."""
+    from test_loop_closing import CFG, F as FCAP, _frame_for, _gt_pose, _ring_world
+    from opendlv_perception_vision_orbslam2_tpu.models import map_state as ms
+    from opendlv_perception_vision_orbslam2_tpu.models.global_ba import (
+        IncrementalGBA,
+    )
+    from opendlv_perception_vision_orbslam2_tpu.ops import lie as _lie
+
+    pts, descs = _ring_world()
+    rng = np.random.default_rng(3)
+    n_kf = 8
+    m = ms.empty_map(16, 32768, FCAP)
+    slot_of_world = -np.ones(len(pts), np.int64)
+    gt = []
+    for i in range(n_kf):
+        T_gt = _gt_pose(i)
+        gt.append(T_gt)
+        noise = np.asarray(_lie.exp_se3(jnp.asarray(
+            (rng.standard_normal(6) * np.array(
+                [0.03, 0.03, 0.03, 0.005, 0.005, 0.005])).astype(np.float32))))
+        T_noisy = (noise @ T_gt).astype(np.float32)
+        frame, idx = _frame_for(T_gt, T_noisy, pts, descs)
+        tracked = -np.ones(FCAP, np.int32)
+        tracked[: len(idx)] = slot_of_world[idx]
+        m, slot = ms.insert_keyframe(m, frame, jnp.asarray(tracked), 20.0)
+        binds = np.asarray(m.kf_obs_point[slot])
+        slot_of_world[idx] = binds[: len(idx)]
+
+    gba = IncrementalGBA(m, CFG, n_outer_total=8, cg_iters=30)
+    # equivalence target: the one-shot solve on the same snapshot
+    cam = CFG.camera
+    from opendlv_perception_vision_orbslam2_tpu.models.global_ba import (
+        extract_global_ba,
+    )
+    prob_ref = extract_global_ba(m, CFG.orb.scale_factor)
+    T_ref, pts_ref, cost_ref = global_bundle_adjust(
+        prob_ref, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+        n_outer=8, cg_iters=30,
+    )
+
+    done = False
+    for step in range(8):
+        done = gba.step()
+        if step == 2:
+            # map grows mid-solve: a new keyframe arrives
+            T_new_gt = _gt_pose(n_kf)
+            frame, idx = _frame_for(T_new_gt, T_new_gt, pts, descs)
+            tracked = -np.ones(FCAP, np.int32)
+            tracked[: len(idx)] = slot_of_world[idx]
+            m, new_slot = ms.insert_keyframe(m, frame, jnp.asarray(tracked), 20.0)
+    assert done
+    # chunked LM must land where the one-shot scan lands (same iterations,
+    # same problem -> same trajectory through state space)
+    T_chunk, pts_chunk, _, cost_chunk = gba.carry
+    np.testing.assert_allclose(np.asarray(T_chunk), np.asarray(T_ref),
+                               atol=1e-4)
+    assert abs(float(cost_chunk) - float(cost_ref)) < 1e-2 * max(
+        1.0, float(cost_ref))
+    m2 = gba.merge(m)
+    # snapshot keyframes took the optimized poses
+    np.testing.assert_allclose(
+        np.asarray(m2.kf_T_cw[:n_kf]), np.asarray(T_ref[:n_kf]), atol=1e-4
+    )
+    # the keyframe added mid-solve survived and stayed finite/consistent
+    assert bool(m2.kf_valid[int(new_slot)])
+    assert np.all(np.isfinite(np.asarray(m2.kf_T_cw[int(new_slot)])))
+    # its relative pose to the anchor (last snapshot KF) is preserved
+    rel_before = np.asarray(m.kf_T_cw[int(new_slot)]) @ np.linalg.inv(
+        np.asarray(m.kf_T_cw[n_kf - 1]))
+    rel_after = np.asarray(m2.kf_T_cw[int(new_slot)]) @ np.linalg.inv(
+        np.asarray(m2.kf_T_cw[n_kf - 1]))
+    np.testing.assert_allclose(rel_after, rel_before, atol=1e-4)
