@@ -148,16 +148,70 @@ def main():
     if min(inliers[1:]) < 10:
         print("WARNING: tracking lost during bench", file=sys.stderr)
 
+    # ---- FULL SLAM pipeline (keyframes + local BA + fusion + culling +
+    # loop detection): the reference's benchmarkable path is the whole
+    # system (src/kittirunner.cpp:99-173), not the VO slice --------------
+    full_fps, worst_ms, kf_frames = bench_full_slam(cfg)
+
     baseline_fps = 15.0  # reference real-time operating point (see docstring)
-    metric = "tracked_frames_per_s_per_chip_kitti_sized_stereo"
+    metric = "tracked_frames_per_s_full_slam_kitti_sized_stereo"
     if cpu_fallback:
         metric += "_CPU_FALLBACK_tpu_backend_unreachable"
     print(json.dumps({
         "metric": metric,
-        "value": round(fps, 2),
+        "value": round(full_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 3),
+        "vs_baseline": round(full_fps / baseline_fps, 3),
+        "vo_frames_per_s": round(fps, 2),
+        "vo_latency_ms": round(lat_ms, 1),
+        "worst_frame_ms": round(worst_ms, 1),
+        "keyframe_frames": kf_frames,
     }))
+
+
+def bench_full_slam(cfg, n_frames: int = 48, n_warm: int = 16):
+    """Steady-state throughput + worst-frame latency of StereoSlam.process
+    (tracking + keyframe insertion + triangulation + fusion + local BA +
+    culling + loop detection) on the KITTI-sized synthetic sequence."""
+    import jax
+
+    from opendlv_perception_vision_orbslam2_tpu.models.slam import StereoSlam
+    from opendlv_perception_vision_orbslam2_tpu.utils import synthetic
+
+    print(f"rendering {n_frames} frames for the full-SLAM bench...",
+          file=sys.stderr)
+    lefts, rights, gt_poses, _ = synthetic.render_stereo_sequence(
+        cfg, n_frames=n_frames, n_points=1200, seed=1, step=0.6
+    )
+    lefts = jax.device_put(np.asarray(lefts))
+    rights = jax.device_put(np.asarray(rights))
+
+    slam = StereoSlam(cfg)
+    # warmup: compiles the tracking step AND the keyframe stage programs
+    t0 = time.time()
+    for i in range(n_warm):
+        slam.process(lefts[i], rights[i], timestamp=i / 15.0)
+    print(f"full-SLAM compile+warmup: {time.time()-t0:.1f}s "
+          f"(kfs={slam.n_keyframes})", file=sys.stderr)
+
+    times = []
+    kf_before = slam.n_keyframes
+    for i in range(n_warm, n_frames):
+        t1 = time.time()
+        slam.process(lefts[i], rights[i], timestamp=i / 15.0)
+        times.append(time.time() - t1)
+    total = sum(times)
+    fps = len(times) / total
+    worst_ms = max(times) * 1e3
+    kf_frames = slam.n_keyframes - kf_before
+    print(
+        f"full-SLAM frames/s={fps:.2f} worst-frame={worst_ms:.1f} ms "
+        f"median={np.median(times)*1e3:.1f} ms keyframes={kf_frames} "
+        f"map_pts={int(np.asarray(slam.map.pt_valid).sum())} "
+        f"lost={slam.lost}",
+        file=sys.stderr,
+    )
+    return fps, worst_ms, kf_frames
 
 
 if __name__ == "__main__":

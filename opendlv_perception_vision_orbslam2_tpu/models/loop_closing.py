@@ -475,11 +475,15 @@ class LoopCloser:
             return m, False, None
 
         covis = np.asarray(m.covis)
+        kf_ids = np.asarray(m.kf_id)
         accepted = None
         new_groups, new_counts = [], []
         for c in cands:
-            group = {c} | {
-                int(j) for j in np.nonzero(covis[c] > 0)[0]
+            # groups are keyed by STABLE keyframe ids, not slots: culling /
+            # capacity eviction between keyframes recycles slot indices,
+            # which would silently re-index a slot-keyed group
+            group = {int(kf_ids[c])} | {
+                int(kf_ids[j]) for j in np.nonzero(covis[c] > 0)[0]
             }
             count = 0
             for g_prev, c_prev in zip(self.prev_groups, self.prev_counts):

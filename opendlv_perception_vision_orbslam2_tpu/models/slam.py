@@ -576,7 +576,17 @@ class StereoSlam:
             self.map, out.pt_visible_delta, out.pt_found_delta
         )
         T_new = out.T_cw
-        n_inl = int(out.n_inliers)
+        # ONE device->host transfer for all per-frame decision scalars: on a
+        # remote/tunneled device each int() costs a full RTT; four separate
+        # reads were the frame-loop's hidden latency floor
+        stats = np.asarray(jnp.stack([
+            out.n_inliers.astype(jnp.int32),
+            jnp.sum(out.bindings >= 0).astype(jnp.int32),
+            out.n_tracked_close.astype(jnp.int32),
+            out.n_untracked_close.astype(jnp.int32),
+        ]))
+        n_inl, tracked = int(stats[0]), int(stats[1])
+        n_tracked_close, n_untracked_close = int(stats[2]), int(stats[3])
         self.lost = n_inl < MIN_INLIERS_MAP
         if self.lost:
             # fallback ladder (UpdatePoses dispatch, reference:
@@ -593,13 +603,12 @@ class StereoSlam:
 
         # keyframe decision (NeedNewKeyFrame, reference:
         # src/tracking.cpp:812-896, simplified c1a/c1c/c2)
-        tracked = int(jnp.sum(bindings >= 0))
         need_kf = (
             (self.frames_since_kf >= cfg.tracking.max_frames)
             or (tracked < 0.25 * max(self.ref_kf_tracked, 1))
             or (
-                int(out.n_tracked_close) < 100
-                and int(out.n_untracked_close) > 70
+                n_tracked_close < 100
+                and n_untracked_close > 70
             )
         ) and not self.lost
         if need_kf:

@@ -39,13 +39,11 @@ def _fundamental_from_poses(T1_cw, T2_cw, K):
     return K_inv.T @ E @ K_inv
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def triangulate_with_neighbor(m: MapState, kf1, kf2, config: SystemConfig):
-    """Create new points from unmatched features of keyframes kf1/kf2.
-
-    Returns the updated map.  All gates follow the reference's
-    CreateNewMapPoints checks (reference: src/mapping.cpp:391-505).
-    """
+def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
+                      enabled):
+    """Scan body: create new points from unmatched features of kf1/kf2;
+    ``enabled=False`` makes the whole pass a masked no-op (invalid
+    neighbour slots in the fixed-size top-k list)."""
     cam = config.camera
     P, F = m.pt_capacity, m.feat_capacity
     K = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
@@ -146,7 +144,10 @@ def triangulate_with_neighbor(m: MapState, kf1, kf2, config: SystemConfig):
         ratio_dist > ratio_octave / rf
     )
 
-    want = keep & z_ok & reproj_ok & parallax_ok & scale_ok & (baseline > 0.01)
+    want = (
+        keep & z_ok & reproj_ok & parallax_ok & scale_ok
+        & (baseline > 0.01) & enabled
+    )
 
     # allocate + write new points
     slots = _alloc_point_slots(m.pt_valid, want)
@@ -191,18 +192,29 @@ def triangulate_with_neighbor(m: MapState, kf1, kf2, config: SystemConfig):
     return m
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def triangulate_with_neighbor(m: MapState, kf1, kf2, config: SystemConfig):
+    """Single-pair entry point (tests / mono bootstrap)."""
+    m = _triangulate_pair(m, kf1, kf2, config, jnp.asarray(True))
+    return m._replace(covis=recompute_covisibility(m))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def create_new_map_points(m: MapState, new_kf_slot, config: SystemConfig,
                           n_neighbors: int = N_TRI_NEIGHBORS) -> MapState:
-    """Triangulate against the best covisible neighbours (host loop; each
-    pair is one jitted program)."""
-    import numpy as np
+    """Triangulate against the best covisible neighbours — ONE jitted
+    program: device top-k neighbour selection + lax.scan over the pair
+    body (no host covis read, no per-neighbour dispatch; the keyframe
+    stage stays fully asynchronous on a remote device)."""
+    w = m.covis[new_kf_slot]
+    _, nbrs = jax.lax.top_k(w, n_neighbors)
+    wv = jnp.take(w, nbrs)
 
-    w = np.asarray(m.covis[new_kf_slot])
-    order = np.argsort(-w)[:n_neighbors]
-    for nb in order:
-        if w[nb] <= 0:
-            break
-        m = triangulate_with_neighbor(
-            m, new_kf_slot, int(nb), config
+    def body(mm, i):
+        mm = _triangulate_pair(
+            mm, new_kf_slot, nbrs[i], config, wv[i] > 0
         )
+        return mm, None
+
+    m, _ = jax.lax.scan(body, m, jnp.arange(n_neighbors))
     return m._replace(covis=recompute_covisibility(m))

@@ -204,3 +204,91 @@ def render_rgbd_sequence(config: SystemConfig, n_frames: int = 30,
 
     grays, depths = jax.lax.map(render_one, poses)
     return grays, depths, poses, world
+
+
+def circular_trajectory(n_frames: int, radius: float = 15.0,
+                        laps: float = 1.0):
+    """Ground-truth camera poses T_cw [N, 4, 4] driving ``laps`` closed
+    circles (heading tangent) — the loop-closure fixture: the camera
+    re-enters its own start region once per lap."""
+    poses = []
+    for i in range(n_frames):
+        th = 2.0 * np.pi * laps * i / n_frames
+        c = np.array([radius * np.sin(th), 0.0, radius * (1.0 - np.cos(th))])
+        R_wc = np.array(
+            [
+                [np.cos(th), 0, np.sin(th)],
+                [0, 1, 0],
+                [-np.sin(th), 0, np.cos(th)],
+            ],
+            dtype=np.float32,
+        )
+        T_wc = np.eye(4, dtype=np.float32)
+        T_wc[:3, :3] = R_wc
+        T_wc[:3, 3] = c
+        poses.append(np.linalg.inv(T_wc).astype(np.float32))
+    return jnp.asarray(np.stack(poses))
+
+
+def make_ring_world(n_points: int = 1200, radius: float = 15.0,
+                    seed: int = 0) -> SyntheticWorld:
+    """World points scattered in a band around the circular trajectory so
+    every lap segment (including the revisit) sees dense texture."""
+    rng = np.random.default_rng(seed)
+    th = rng.uniform(0, 2 * np.pi, n_points)
+    # points ahead of the tangent direction, mostly inside the close
+    # stereo-depth band so every heading has translation-informative
+    # texture (far points alone cannot anchor translation)
+    r_off = rng.uniform(2.5, 12.0, n_points)
+    y = rng.uniform(-3.5, 2.5, n_points)
+    cx = radius * np.sin(th)
+    cz = radius * (1 - np.cos(th))
+    # outward + forward scatter relative to the local tangent frame
+    tangent = np.stack([np.cos(th), np.zeros_like(th), np.sin(th)], -1)
+    outward = np.stack([np.sin(th), np.zeros_like(th), -np.cos(th)], -1)
+    lateral = rng.uniform(-8.0, 8.0, n_points)
+    pts = (
+        np.stack([cx, np.zeros_like(cx), cz], -1)
+        + tangent * r_off[:, None]
+        + outward * lateral[:, None]
+    )
+    pts[:, 1] = y
+    pts = pts.astype(np.float32)
+    side = 2 * SPRITE_R_DEF + 1
+    coarse = 4
+    base = rng.uniform(40.0, 250.0, (n_points, coarse, coarse)).astype(np.float32)
+    t = np.linspace(0.0, coarse - 1.0, side)
+    i0 = np.clip(np.floor(t).astype(np.int64), 0, coarse - 2)
+    f = (t - i0).astype(np.float32)
+    rows = (1 - f)[None, :, None] * base[:, i0, :] + f[None, :, None] * base[:, i0 + 1, :]
+    patterns = (
+        (1 - f)[None, None, :] * rows[:, :, i0] + f[None, None, :] * rows[:, :, i0 + 1]
+    ).reshape(n_points, side * side)
+    return SyntheticWorld(jnp.asarray(pts), jnp.asarray(patterns))
+
+
+def render_loop_sequence(config: SystemConfig, n_frames: int = 200,
+                         n_points: int = 1200, seed: int = 0,
+                         radius: float = 15.0, laps: float = 2.0):
+    """Stereo render of a multi-lap circular drive — the long-sequence
+    fixture exercising keyframe culling, capacity recycling and repeated
+    loop closures.  Returns (lefts, rights, T_cw_gt, world)."""
+    cam = config.camera
+    world = make_ring_world(n_points, radius, seed)
+    poses = circular_trajectory(n_frames, radius, laps)
+
+    baseline = cam.baseline_m
+    T_rl = jnp.asarray(np.array(
+        [[1, 0, 0, -baseline], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        dtype=np.float32,
+    ))
+
+    def render_pair(T_cw):
+        left = render_view(T_cw, world, cam.height, cam.width,
+                           cam.fx, cam.fy, cam.cx, cam.cy)
+        right = render_view(T_rl @ T_cw, world, cam.height, cam.width,
+                            cam.fx, cam.fy, cam.cx, cam.cy)
+        return left, right
+
+    lefts, rights = jax.lax.map(render_pair, poses)
+    return lefts, rights, poses, world

@@ -79,3 +79,48 @@ def test_stereo_keyframes_triangulate_far_points():
     d = np.linalg.norm(pts[far][:, None, :] - wpts[None, :, :], axis=-1)
     rel = d.min(axis=1) / pts[far][:, 2]
     assert np.median(rel) < 0.04, f"median far-point rel error {np.median(rel):.3f}"
+
+
+@pytest.mark.slow
+def test_two_lap_loop_closures_with_capacity_churn():
+    """Long-sequence robustness (SURVEY.md section 5 map-growth management):
+    1.5 laps of a circular drive at keyframe capacity 64 forces culling AND
+    slot eviction while TWO loop closures fire; persistent loop edges must
+    survive the churn and the second essential-graph solve must stay
+    consistent (reference keeps loop edges on keyframes forever,
+    src/orbkeyframe.cpp:458-470)."""
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=320.0, fy=320.0, cx=256.0, cy=128.0,
+                            bf=160.0, width=512, height=256, fps=10.0),
+        orb=OrbConfig(n_features=600, max_keypoints=1024, n_levels=4),
+        tracking=__import__(
+            "opendlv_perception_vision_orbslam2_tpu.utils.config",
+            fromlist=["TrackingConfig"],
+        ).TrackingConfig(max_frames=5),
+        max_keyframes=64,
+        max_map_points=32768,
+    )
+    n = 200
+    lefts, rights, gt, _ = synthetic.render_loop_sequence(
+        cfg, n_frames=n, n_points=2400, seed=4, radius=20.0, laps=1.5
+    )
+    slam = StereoSlam(cfg)
+    lost_frames = 0
+    for i in range(n):
+        slam.process(lefts[i], rights[i], timestamp=i * 0.1)
+        lost_frames += int(slam.lost)
+
+    est = np.stack([np.asarray(T) for T in slam.trajectory])
+    assert np.isfinite(est).all(), "non-finite poses in trajectory"
+    assert lost_frames < 0.1 * n, f"lost {lost_frames}/{n} frames"
+    assert slam.loops_closed >= 2, f"only {slam.loops_closed} loop closures"
+    assert int(jnp.sum(slam.map.loop_valid)) >= 2, "loop edges not persisted"
+    # loop anchors survived capacity eviction
+    li = np.asarray(slam.map.loop_i)[np.asarray(slam.map.loop_valid)]
+    lj = np.asarray(slam.map.loop_j)[np.asarray(slam.map.loop_valid)]
+    kf_valid = np.asarray(slam.map.kf_valid)
+    assert kf_valid[li].all() and kf_valid[lj].all()
+    # keyframe churn actually happened (more created than capacity)
+    assert slam.n_keyframes > cfg.max_keyframes
+    ate = trajectory.ate_rmse(list(est), list(np.asarray(gt)), align=True)
+    assert ate < 5.0, f"aligned ATE {ate:.2f} m on the 188 m loop drive"
