@@ -84,12 +84,25 @@ def fuse_into_keyframe(m: MapState, target_slot, cand_pt_slots,
     oct_ok = (f_oct[None, :] >= pred_oct[:, None] - 1) & (
         f_oct[None, :] <= pred_oct[:, None] + 1
     )
-    # reprojection chi2 gate per feature octave (reference: :903-933)
+    # reprojection chi2 gate per feature octave (reference: :903-933);
+    # stereo-observed features also check the right-image coordinate at the
+    # 3-DoF threshold 7.8 — without it a far point can fuse onto a feature
+    # whose own disparity contradicts the point's depth, seeding local BA
+    # with inconsistent stereo edges.
     sigma2 = jnp.power(
         jnp.float32(config.orb.scale_factor), 2.0 * f_oct.astype(jnp.float32)
     )
     err2 = jnp.sum(d_uv * d_uv, axis=-1)
-    chi_ok = err2 <= 5.99 * sigma2[None, :]
+    cam = config.camera
+    f_ur = m.kf_uright[target_slot]
+    ur_hat = uv[:, 0] - cam.bf / jnp.maximum(z, 1e-6)
+    d_ur = f_ur[None, :] - ur_hat[:, None]
+    err2_st = err2 + d_ur * d_ur
+    chi_ok = jnp.where(
+        f_ur[None, :] >= 0,
+        err2_st <= 7.8 * sigma2[None, :],
+        err2 <= 5.99 * sigma2[None, :],
+    )
 
     gate = within & oct_ok & chi_ok & visible[:, None] & f_valid[None, :]
     dmat = hamming_matrix(m.pt_desc[slots], m.kf_desc[target_slot])

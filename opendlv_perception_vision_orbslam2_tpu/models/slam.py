@@ -498,6 +498,7 @@ class StereoSlam:
             self.map = cull_keyframes(self.map, slot)
         self.n_keyframes += 1
         self.frames_since_kf = 0
+        self.last_kf_slot = int(slot)
         self._register_keyframe(int(slot))
         # re-read bindings after culling/BA (points may have died)
         return self.map.kf_obs_point[slot]
@@ -587,6 +588,7 @@ class StereoSlam:
         ]))
         n_inl, tracked = int(stats[0]), int(stats[1])
         n_tracked_close, n_untracked_close = int(stats[2]), int(stats[3])
+        self.last_stats = stats  # observability: [n_inl, tracked, close+, close-]
         self.lost = n_inl < MIN_INLIERS_MAP
         if self.lost:
             # fallback ladder (UpdatePoses dispatch, reference:
@@ -595,7 +597,19 @@ class StereoSlam:
             if self._track_reference_keyframe(cur) or self._try_relocalize(cur):
                 T_new = self.T_cw
                 out = out._replace(bindings=self.last_bindings)
-        self.velocity = T_new @ lie.inv_T(self.T_cw)
+            else:
+                # recovery failed: the failed estimate must NOT be integrated
+                # — the reference keeps the last good pose while LOST
+                # (src/tracking.cpp:266-276 only updates on OK) and so must
+                # we, or velocity composition compounds the garbage pose
+                # exponentially until it overflows to NaN and relocalization
+                # can never pull the tracker back. Bindings stay as tracked
+                # (few but genuinely matched, keyed by cur's features).
+                T_new = self.T_cw
+        if self.lost:
+            self.velocity = jnp.eye(4, dtype=jnp.float32)
+        else:
+            self.velocity = T_new @ lie.inv_T(self.T_cw)
         self.T_cw = T_new
         cur = cur._replace(T_cw=T_new)
         bindings = out.bindings
@@ -614,6 +628,16 @@ class StereoSlam:
         if need_kf:
             bindings = self._insert_keyframe(cur, bindings)
             self.ref_kf_tracked = max(tracked, 1)
+            # re-sync the tracker to the keyframe's POST-local-BA pose: BA
+            # just moved the window (this frame included) into its own
+            # refined gauge, and tracking from the stale pre-BA pose lets
+            # map and tracker drift apart a little on every insertion until
+            # tight-radius projection matching collapses (the reference's
+            # tracker reads KF poses back from the map through the
+            # covisibility refs, src/tracking.cpp:546-585 UpdateLastFrame)
+            T_new = self.map.kf_T_cw[self.last_kf_slot]
+            self.T_cw = T_new
+            cur = cur._replace(T_cw=T_new)
 
         self.last_frame = cur
         self.last_bindings = bindings

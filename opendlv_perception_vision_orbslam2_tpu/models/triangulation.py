@@ -123,8 +123,23 @@ def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
     )
     e1 = jnp.sum((uv1_hat - xy1) ** 2, axis=1)
     e2 = jnp.sum((uv2_hat - uv2_m) ** 2, axis=1)
-    reproj_ok = (e1 <= 5.991 * sigma2_1) & (
-        e2 <= 5.991 * sigma2_2[best2]
+    # stereo-observed features additionally check the right-image coordinate
+    # (3-DoF chi2 at 7.815, reference: src/mapping.cpp:434-470).  Without
+    # this a DLT candidate can contradict the feature's OWN disparity; the
+    # resulting pair of inconsistent stereo edges later makes local BA drag
+    # the point to a bogus compromise depth and erase the good observation.
+    ur1 = m.kf_uright[kf1]
+    ur2 = m.kf_uright[kf2][best2]
+    z1s = jnp.maximum(pc1[:, 2], 1e-6)
+    z2s = jnp.maximum(pc2[:, 2], 1e-6)
+    ur1_hat = uv1_hat[:, 0] - cam.bf / z1s
+    ur2_hat = uv2_hat[:, 0] - cam.bf / z2s
+    e1_tot = jnp.where(ur1 >= 0, e1 + (ur1 - ur1_hat) ** 2, e1)
+    e2_tot = jnp.where(ur2 >= 0, e2 + (ur2 - ur2_hat) ** 2, e2)
+    th1 = jnp.where(ur1 >= 0, 7.815, 5.991)
+    th2 = jnp.where(ur2 >= 0, 7.815, 5.991)
+    reproj_ok = (e1_tot <= th1 * sigma2_1) & (
+        e2_tot <= th2 * sigma2_2[best2]
     )
 
     r1 = X - c1

@@ -174,7 +174,15 @@ def bundle_adjust(prob: BAProblem, *, fx: float, fy: float, cx: float,
         c = jnp.where(
             chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * chi2) - delta2
         )
-        return jnp.sum(jnp.where(active & (~behind), c, 0.0))
+        # behind-camera edges carry a LARGE constant penalty (worse than any
+        # visible outlier) rather than dropping out: zeroing them lets LM
+        # monotonically "improve" by pushing weakly-constrained points behind
+        # their observers (negative-depth escape hatch — points were observed
+        # moving 20-60 m per solve).  Constant because the clamped-z residual
+        # there is astronomically large and its gradient is meaningless; the
+        # penalty only has to make such steps lose the accept test.
+        c = jnp.where(behind, 2.0 * jnp.sqrt(delta2 * 1e8), c)
+        return jnp.sum(jnp.where(active, c, 0.0))
 
     def lm_phase(T_opt, pts, active, n_iters):
         def body(carry, _):
