@@ -63,10 +63,20 @@ def _project_gate(m: MapState, pt_slots, T_cw, config: SystemConfig):
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def fuse_into_keyframe(m: MapState, target_slot, cand_pt_slots,
-                       config: SystemConfig) -> MapState:
+                       config: SystemConfig, counts=None):
     """Project candidate points into keyframe ``target_slot``; bind matches,
-    merge duplicates.  ``cand_pt_slots [C]`` map point slots (-1 pad)."""
+    merge duplicates.  ``cand_pt_slots [C]`` map point slots (-1 pad).
+
+    ``counts``: optional precomputed per-point observation counts [P].  The
+    full recount is a [K*F]-slot scatter (~35 ms at KITTI capacities); the
+    fusion loop calls this 11x per keyframe, so callers thread the counts
+    through and this function returns ``(m, counts)`` with incremental
+    updates (new bind: +1; merge: winner absorbs loser, reference:
+    src/orbmappoint.cpp Replace semantics).  With ``counts=None`` they are
+    recomputed here and the same pair is returned."""
     P, F = m.pt_capacity, m.feat_capacity
+    if counts is None:
+        counts = point_observation_counts(m)
     T_t = m.kf_T_cw[target_slot]
     visible, uv, pred_oct, z = _project_gate(m, cand_pt_slots, T_t, config)
     slots = jnp.clip(cand_pt_slots, 0, P - 1)
@@ -134,8 +144,12 @@ def fuse_into_keyframe(m: MapState, target_slot, cand_pt_slots,
     obs = m.kf_obs_point.at[target_slot].set(row)
     m = m._replace(kf_obs_point=obs)
 
+    # counts gain the new bindings (what a recount here would see)
+    counts = counts.at[jnp.where(is_new_bind, slots, P - 1)].add(
+        is_new_bind.astype(jnp.int32)
+    ).at[P - 1].set(0)
+
     # --- merges: loser -> winner indirection ------------------------------
-    counts = point_observation_counts(m)
     cand_obs = counts[slots]
     exist_obs = counts[jnp.clip(existing, 0, P - 1)]
     cand_wins = cand_obs >= exist_obs
@@ -159,18 +173,30 @@ def fuse_into_keyframe(m: MapState, target_slot, cand_pt_slots,
         jnp.where(loser >= 0, jnp.clip(loser, 0, P - 1), P - 1)
     ].set(loser >= 0)
     dead = dead.at[P - 1].set(False)
+    # winner absorbs the loser's observations (Replace merges both counts)
+    loser_n = jnp.where(loser >= 0, counts[jnp.clip(loser, 0, P - 1)], 0)
+    counts = counts.at[
+        jnp.where(winner >= 0, jnp.clip(winner, 0, P - 1), P - 1)
+    ].add(loser_n).at[P - 1].set(0)
+    counts = jnp.where(dead, 0, counts)
     return m._replace(
         kf_obs_point=new_obs,
         pt_valid=m.pt_valid & (~dead),
-    )
+    ), counts
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def run_fusion(m: MapState, new_kf_slot, config: SystemConfig,
-               n_neighbors: int = N_FUSE_NEIGHBORS) -> MapState:
+               n_neighbors: int = N_FUSE_NEIGHBORS,
+               update_covis: bool = True, counts=None):
     """SearchInNeighbors: fuse new-KF points into each covisible neighbour,
     then the neighbours' points into the new KF (reference:
-    src/mapping.cpp:564-644)."""
+    src/mapping.cpp:564-644).
+
+    ``update_covis=False`` skips the tail covisibility rebuild — callers
+    chaining several map passes per keyframe rebuild once at the end.
+    ``counts``: optional observation counts threaded through (returns
+    ``(m, counts)`` when given)."""
     F = m.feat_capacity
     w = m.covis[new_kf_slot]
     nb_w, nb_slots = jax.lax.top_k(w, n_neighbors)
@@ -180,14 +206,20 @@ def run_fusion(m: MapState, new_kf_slot, config: SystemConfig,
         m.kf_feat_valid[new_kf_slot], m.kf_obs_point[new_kf_slot], -1
     )                                                       # [F]
 
-    def body(i, m):
-        tgt = nb_slots[i]
-        fused = fuse_into_keyframe(m, tgt, new_pts, config)
-        return jax.tree.map(
-            lambda a, b: jnp.where(nb_ok[i], a, b), fused, m
-        )
+    with_counts = counts is not None
+    counts0 = counts if with_counts else point_observation_counts(m)
 
-    m = jax.lax.fori_loop(0, n_neighbors, body, m)
+    def body(i, carry):
+        m, counts = carry
+        tgt = nb_slots[i]
+        fused, counts_new = fuse_into_keyframe(m, tgt, new_pts, config,
+                                               counts)
+        keep = nb_ok[i]
+        m = jax.tree.map(lambda a, b: jnp.where(keep, a, b), fused, m)
+        counts = jnp.where(keep, counts_new, counts)
+        return m, counts
+
+    m, counts = jax.lax.fori_loop(0, n_neighbors, body, (m, counts0))
 
     # reverse direction: neighbours' points into the new KF
     nb_binds = m.kf_obs_point[nb_slots]                     # [N, F]
@@ -208,5 +240,7 @@ def run_fusion(m: MapState, new_kf_slot, config: SystemConfig,
     comp = jnp.full((2 * F,), -1, jnp.int32).at[
         jnp.where((cand >= 0) & (rank < 2 * F), rank, 2 * F - 1)
     ].max(jnp.where(cand >= 0, cand, -1))
-    m = fuse_into_keyframe(m, new_kf_slot, comp, config)
-    return m._replace(covis=recompute_covisibility(m))
+    m, counts = fuse_into_keyframe(m, new_kf_slot, comp, config, counts)
+    if update_covis:
+        m = m._replace(covis=recompute_covisibility(m))
+    return (m, counts) if with_counts else m

@@ -29,7 +29,8 @@ from .map_state import MapState, recompute_covisibility
 
 KO_DEFAULT = 8       # optimizable window size
 KFIX_DEFAULT = 8     # fixed observers
-PL_DEFAULT = 8192    # local point capacity
+PL_DEFAULT = 4096    # local point capacity (unique points in an 8-KF window)
+EL_DEFAULT = 8192    # compressed edge capacity (see extract_local_ba)
 
 
 class LocalBAExtract(NamedTuple):
@@ -38,12 +39,14 @@ class LocalBAExtract(NamedTuple):
     local_pt_slots: jnp.ndarray   # [PL] map point slots (-1 pad)
     e_src_kf: jnp.ndarray         # [E] keyframe slot of each edge
     e_src_feat: jnp.ndarray       # [E] feature index of each edge
+    window_kf_slots: jnp.ndarray  # [KO+KFIX] optimizable + fixed (-1 pad)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def extract_local_ba(m: MapState, center_slot, ko: int = KO_DEFAULT,
                      kfix: int = KFIX_DEFAULT, pl: int = PL_DEFAULT,
-                     scale_factor: float = 1.2) -> LocalBAExtract:
+                     scale_factor: float = 1.2,
+                     el: int = EL_DEFAULT) -> LocalBAExtract:
     """Build the fixed-shape local BA problem around ``center_slot``."""
     K, F, P = m.kf_capacity, m.feat_capacity, m.pt_capacity
 
@@ -127,6 +130,27 @@ def extract_local_ba(m: MapState, center_slot, ko: int = KO_DEFAULT,
     sigma2 = jnp.power(
         jnp.float32(scale_factor), 2.0 * kf_oct.astype(jnp.float32)
     ).reshape(-1)
+    e_uv = kf_xy.reshape(-1, 2)
+    e_ur = kf_ur.reshape(-1)
+    e_ok = e_valid.reshape(-1)
+    e_src_kf = jnp.broadcast_to(
+        all_slots[:, None], (n_all, F)
+    ).reshape(-1)
+    e_src_feat = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[None, :], (n_all, F)
+    ).reshape(-1)
+
+    # --- compress the (KO+KFIX)*F edge slots to EL real edges ------------
+    # Every per-iteration LM op (residuals, Jacobians, 4 scatter-adds) is
+    # linear in the edge count; at KITTI feature budgets only ~15-30% of the
+    # dense slots hold a real edge, so solving on the compressed set is a
+    # 3-4x device-time cut.  Row-major order puts optimizable-KF edges
+    # first: if the EL cap overflows, fixed-observer edges drop first.
+    rank = jnp.cumsum(e_ok.astype(jnp.int32)) - 1
+    dst = jnp.where(e_ok & (rank < el), rank, el)
+    idx = jnp.arange(e_ok.shape[0], dtype=jnp.int32)
+    el_src = jnp.zeros((el + 1,), jnp.int32).at[dst].max(idx)[:el]
+    el_ok = jnp.zeros((el + 1,), bool).at[dst].set(e_ok)[:el]
 
     prob = BAProblem(
         T_opt=m.kf_T_cw[local_slots],
@@ -135,25 +159,20 @@ def extract_local_ba(m: MapState, center_slot, ko: int = KO_DEFAULT,
         fix_valid=fix_ok,
         pts=pts_local,
         pt_valid=pt_local_valid,
-        e_kf=e_kf,
-        e_pt=e_pt,
-        e_uv=kf_xy.reshape(-1, 2),
-        e_ur=kf_ur.reshape(-1),
-        e_sigma2=sigma2,
-        e_valid=e_valid.reshape(-1),
+        e_kf=jnp.where(el_ok, e_kf[el_src], 0),
+        e_pt=jnp.where(el_ok, e_pt[el_src], pl - 1),
+        e_uv=jnp.where(el_ok[:, None], e_uv[el_src], 0.0),
+        e_ur=jnp.where(el_ok, e_ur[el_src], -1.0),
+        e_sigma2=jnp.where(el_ok, sigma2[el_src], 1.0),
+        e_valid=el_ok,
     )
-    e_src_kf = jnp.broadcast_to(
-        all_slots[:, None], (n_all, F)
-    ).reshape(-1)
-    e_src_feat = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.int32)[None, :], (n_all, F)
-    ).reshape(-1)
     return LocalBAExtract(
         prob=prob,
         local_kf_slots=jnp.where(local_ok, local_slots, -1),
         local_pt_slots=local_pt_slots,
-        e_src_kf=e_src_kf,
-        e_src_feat=e_src_feat,
+        e_src_kf=jnp.where(el_ok, e_src_kf[el_src], 0),
+        e_src_feat=jnp.where(el_ok, e_src_feat[el_src], F - 1),
+        window_kf_slots=jnp.where(all_ok, all_slots, -1),
     )
 
 
@@ -186,11 +205,17 @@ def write_back_local_ba(m: MapState, ext: LocalBAExtract, T_opt, pts,
 
 def local_mapping_step(m: MapState, center_slot, config: SystemConfig,
                        ko: int = KO_DEFAULT, kfix: int = KFIX_DEFAULT,
-                       pl: int = PL_DEFAULT) -> MapState:
-    """Full local-BA pass around a newly inserted keyframe."""
+                       pl: int = PL_DEFAULT,
+                       update_covis: bool = True, counts=None,
+                       el: int = EL_DEFAULT):
+    """Full local-BA pass around a newly inserted keyframe.
+
+    ``counts``: optional observation counts threaded through — the outlier
+    observations erased by the post-BA chi2 gate decrement their points'
+    counts and ``(m, counts)`` is returned."""
     cam = config.camera
     ext = extract_local_ba(
-        m, center_slot, ko, kfix, pl, config.orb.scale_factor
+        m, center_slot, ko, kfix, pl, config.orb.scale_factor, el
     )
     res = bundle_adjust(
         ext.prob, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
@@ -198,9 +223,21 @@ def local_mapping_step(m: MapState, center_slot, config: SystemConfig,
     )
     m = write_back_local_ba(m, ext, res.T_opt, res.pts, res.edge_inlier)
     # refresh point statistics after the window settles (reference refreshes
-    # descriptors/normals in SearchInNeighbors, src/mapping.cpp:627-640)
-    from .map_state import refresh_distinctive_descriptors, refresh_point_stats
+    # descriptors/normals in SearchInNeighbors, src/mapping.cpp:627-640).
+    # Windowed: only the local points changed, and their observers are (by
+    # the fixed-observer construction) in the window.
+    from .map_state import refresh_windowed
 
-    m = refresh_distinctive_descriptors(m)
-    m = refresh_point_stats(m)
-    return m._replace(covis=recompute_covisibility(m))
+    m = refresh_windowed(m, ext.local_pt_slots, ext.window_kf_slots)
+    if update_covis:
+        m = m._replace(covis=recompute_covisibility(m))
+    if counts is None:
+        return m
+    P = m.pt_capacity
+    bad = ext.prob.e_valid & (~res.edge_inlier)
+    gpt = ext.local_pt_slots[ext.prob.e_pt]                    # [E] global
+    counts = counts.at[
+        jnp.where(bad & (gpt >= 0), jnp.clip(gpt, 0, P - 1), P - 1)
+    ].add(-bad.astype(jnp.int32)).at[P - 1].set(0)
+    counts = jnp.maximum(counts, 0)
+    return m, counts

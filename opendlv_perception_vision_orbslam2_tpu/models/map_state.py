@@ -170,6 +170,42 @@ def recompute_covisibility(m: MapState) -> jnp.ndarray:
     return jnp.where(kmask[:, None] & kmask[None, :], w, 0)
 
 
+@jax.jit
+def covis_update_row(m: MapState, kf_slot) -> MapState:
+    """Refresh ONE keyframe's covisibility row/column in place.
+
+    After inserting keyframe ``kf_slot`` only its own row changes; the full
+    rebuild scatters a [K, P] incidence (67 MB at KITTI capacities) and runs
+    the Gram matmul, while this touches only [K, F+1].
+
+    Shared points are counted DISTINCTLY: a keyframe can legitimately bind
+    the same point at several features after fusion merges rewrite losers to
+    winners across the whole binding table, and the Gram dedups those via
+    ``min(inc, 1)`` — a plain per-feature row sum over-counts (which
+    inflated covisibility weights and silently degraded window/neighbour
+    selection everywhere downstream)."""
+    P, F = m.pt_capacity, m.feat_capacity
+    K = m.kf_capacity
+    bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
+    row_binds = m.kf_obs_point[kf_slot]
+    row_bound = bound[kf_slot]
+    # one local index per DISTINCT point of the new row (min feature wins)
+    g2l = jnp.full((P,), F, jnp.int32).at[
+        jnp.where(row_bound, row_binds, P - 1)
+    ].min(jnp.where(row_bound, jnp.arange(F, dtype=jnp.int32), F))
+    g2l = g2l.at[P - 1].set(F)
+    loc = jnp.where(
+        bound, jnp.take(g2l, jnp.clip(m.kf_obs_point, 0, P - 1)), F
+    )                                                          # [K, F]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, F), 0)
+    seen = jnp.zeros((K, F + 1), bool).at[rows, loc].set(True)
+    w = jnp.sum(seen[:, :F], axis=1).astype(m.covis.dtype)     # [K]
+    w = w.at[kf_slot].set(0)
+    w = jnp.where(m.kf_valid & m.kf_valid[kf_slot], w, 0)
+    covis = m.covis.at[kf_slot, :].set(w).at[:, kf_slot].set(w)
+    return m._replace(covis=covis)
+
+
 def covisible_neighbors(m: MapState, kf_slot, n_best: int):
     """Top-``n_best`` covisible keyframe slots of ``kf_slot`` by weight
     (GetBestCovisibilityKeyFrames, reference: src/orbkeyframe.cpp:234-249)."""
@@ -206,9 +242,10 @@ def _alloc_point_slots(pt_valid, want_mask):
     return jnp.where(ok, slots, -1)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("covis_mode",))
 def insert_keyframe(m: MapState, frame: FrameState, tracked_point_slot,
-                    close_depth_limit, min_total_points=100):
+                    close_depth_limit, min_total_points=100,
+                    covis_mode: str = "full"):
     """Insert a frame as a keyframe; create map points from stereo depth.
 
     Array analogue of Tracking::CreateNewKeyFrame (reference:
@@ -289,7 +326,12 @@ def insert_keyframe(m: MapState, frame: FrameState, tracked_point_slot,
         kf_obs_point=m.kf_obs_point.at[kf_slot].set(bindings),
         next_kf_id=m.next_kf_id + 1,
     )
-    m = m._replace(covis=recompute_covisibility(m))
+    if covis_mode == "row":
+        # only the inserted keyframe's row changed (new points have no other
+        # observers yet) — O(K*F) gather instead of the full Gram rebuild
+        m = covis_update_row(m, kf_slot)
+    else:
+        m = m._replace(covis=recompute_covisibility(m))
     return m, kf_slot
 
 
@@ -393,6 +435,104 @@ def refresh_distinctive_descriptors(m: MapState) -> MapState:
     )
 
 
+@jax.jit
+def refresh_windowed(m: MapState, pt_slots, kf_slots) -> MapState:
+    """Windowed refresh of distinctive descriptors + normals after local BA.
+
+    Recomputes ONLY the points in ``pt_slots`` ([PL], -1 pad) from their
+    observations in the ``kf_slots`` keyframes ([KW], may repeat/-1 pad) —
+    the local-BA window, whose fixed observers are by construction the
+    keyframes seeing most of these points.  The full-map refresh sorts all
+    [K*F] binding slots (a ~1M-element argsort at KITTI capacities, ~300 ms
+    on chip); the window is [KW*F] ~ 32k.  Observations from keyframes
+    outside the window are ignored for the recompute — a documented
+    approximation of the reference's per-point full-observation refresh
+    (src/orbmappoint.cpp:314-431), bounded by the fixed-observer selection.
+    """
+    P = m.pt_capacity
+    PL = pt_slots.shape[0]
+    F = m.feat_capacity
+
+    p_ok = pt_slots >= 0
+    safe_pt = jnp.clip(pt_slots, 0, P - 1)
+    g2l = jnp.full((P,), PL, jnp.int32).at[
+        jnp.where(p_ok, safe_pt, P - 1)
+    ].set(jnp.where(p_ok, jnp.arange(PL, dtype=jnp.int32), PL))
+
+    k_ok = kf_slots >= 0
+    safe_kf = jnp.clip(kf_slots, 0, m.kf_capacity - 1)
+    binds = m.kf_obs_point[safe_kf]                            # [KW, F]
+    bound = (
+        m.kf_feat_valid[safe_kf] & (binds >= 0)
+        & k_ok[:, None] & m.kf_valid[safe_kf][:, None]
+    )
+    loc = jnp.where(bound, g2l[jnp.clip(binds, 0, P - 1)], PL)  # [KW, F]
+
+    # --- distinctive descriptors over the window observations -----------
+    flat_pt = loc.reshape(-1)
+    flat_desc = m.kf_desc[safe_kf].reshape(-1, 8)
+    order = jnp.argsort(flat_pt)
+    sorted_pt = flat_pt[order]
+    sorted_desc = flat_desc[order]
+    seg_start = jnp.searchsorted(sorted_pt, sorted_pt, side="left")
+    rank = jnp.arange(sorted_pt.shape[0]) - seg_start
+    ok = (sorted_pt < PL) & (rank < OBS_DESC_CAP)
+    tgt_p = jnp.where(ok, sorted_pt, PL)
+    tgt_r = jnp.where(ok, rank, OBS_DESC_CAP - 1)
+
+    table = jnp.zeros((PL + 1, OBS_DESC_CAP, 8), jnp.uint32).at[
+        tgt_p, tgt_r
+    ].set(jnp.where(ok[:, None], sorted_desc, 0))[:PL]
+    slot_valid = jnp.zeros((PL + 1, OBS_DESC_CAP), bool).at[
+        tgt_p, tgt_r
+    ].set(ok)[:PL]
+
+    x = jax.lax.population_count(table[:, :, None, :] ^ table[:, None, :, :])
+    dist = jnp.sum(x, axis=-1).astype(jnp.int32)               # [PL, C, C]
+    big = 257
+    dist = jnp.where(
+        slot_valid[:, :, None] & slot_valid[:, None, :], dist, big
+    )
+    n_valid = jnp.sum(slot_valid, axis=1)
+    dist_sorted = jnp.sort(dist, axis=2)
+    med_pos = jnp.clip((n_valid - 1) // 2, 0, OBS_DESC_CAP - 1)
+    median = jnp.take_along_axis(
+        dist_sorted,
+        jnp.broadcast_to(med_pos[:, None, None], (PL, OBS_DESC_CAP, 1)),
+        axis=2,
+    )[:, :, 0]
+    median = jnp.where(slot_valid, median, big)
+    best = jnp.argmin(median, axis=1)
+    new_desc = table[jnp.arange(PL), best]                     # [PL, 8]
+
+    # --- normals from the window observations ----------------------------
+    cam_centers = -jnp.einsum(
+        "kji,kj->ki",
+        m.kf_T_cw[safe_kf][:, :3, :3], m.kf_T_cw[safe_kf][:, :3, 3],
+    )                                                          # [KW, 3]
+    view = m.pt_pos[jnp.clip(binds, 0, P - 1)] - cam_centers[:, None, :]
+    nrm = view / (jnp.linalg.norm(view, axis=-1, keepdims=True) + 1e-9)
+    flat_loc = jnp.where(bound, loc, PL).reshape(-1)
+    normal_sum = jnp.zeros((PL + 1, 3), jnp.float32).at[flat_loc].add(
+        jnp.where(bound[..., None], nrm, 0.0).reshape(-1, 3)
+    )[:PL]
+    obs_count = jnp.zeros((PL + 1,), jnp.int32).at[flat_loc].add(
+        bound.astype(jnp.int32).reshape(-1)
+    )[:PL]
+    normals = normal_sum / jnp.maximum(obs_count, 1)[:, None]
+
+    # --- scatter back -----------------------------------------------------
+    write = p_ok & (obs_count > 0)
+    w_tgt = jnp.where(write, safe_pt, P - 1)
+    pt_desc = m.pt_desc.at[w_tgt].set(
+        jnp.where(write[:, None], new_desc, m.pt_desc[w_tgt])
+    )
+    pt_normal = m.pt_normal.at[w_tgt].set(
+        jnp.where(write[:, None], normals, m.pt_normal[w_tgt])
+    )
+    return m._replace(pt_desc=pt_desc, pt_normal=pt_normal)
+
+
 # ---------------------------------------------------------------------------
 # Culling
 # ---------------------------------------------------------------------------
@@ -431,13 +571,18 @@ def evict_oldest_if_full(m: MapState) -> MapState:
 
 
 @functools.partial(jax.jit, static_argnames=("th_obs",))
-def cull_points(m: MapState, current_kf_id, th_obs: int = 3) -> MapState:
+def cull_points(m: MapState, current_kf_id, th_obs: int = 3, counts=None):
     """MapPointCulling (reference: src/mapping.cpp:527-562): recently created
     points must keep a found/visible ratio > 0.25 and gather > ``th_obs``
     observations (3 stereo / 2 mono) within 2 keyframes of creation, else
     they are deleted.  Counts grow via keyframe bindings + fusion
-    (models/fusion.py), exactly like the reference's Fuse pass."""
-    obs = point_observation_counts(m)
+    (models/fusion.py), exactly like the reference's Fuse pass.
+
+    ``counts``: optional precomputed observation counts.  When given, the
+    full [K*F] recount is skipped and ``(m, counts)`` is returned with the
+    killed points zeroed — the fused keyframe stage threads one counts
+    array through all its passes."""
+    obs = point_observation_counts(m) if counts is None else counts
     age = current_kf_id - m.pt_first_kf_id
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(m.pt_visible, 1)
     bad = (ratio < 0.25) | ((age >= 2) & (obs <= th_obs))
@@ -446,22 +591,30 @@ def cull_points(m: MapState, current_kf_id, th_obs: int = 3) -> MapState:
     new_valid = m.pt_valid & (~kill)
     # unbind every observation of killed points
     killed_of = jnp.where(m.kf_obs_point >= 0, kill[m.kf_obs_point], False)
-    return m._replace(
+    m = m._replace(
         pt_valid=new_valid,
         kf_obs_point=jnp.where(killed_of, -1, m.kf_obs_point),
     )
+    if counts is None:
+        return m
+    return m, jnp.where(kill, 0, counts)
 
 
-@jax.jit
-def cull_keyframes(m: MapState, protect_slot) -> MapState:
+@functools.partial(jax.jit, static_argnames=("update_covis",))
+def cull_keyframes(m: MapState, protect_slot,
+                   update_covis: bool = True, counts=None) -> MapState:
     """KeyFrameCulling (reference: src/mapping.cpp:646-710): a keyframe whose
     tracked points are >=90% observed by >=3 other keyframes at the same or
     finer scale is redundant.  Array form: per (kf, feat) slot, look up the
     point's total observation count; scale comparison is approximated by
     total counts (documented divergence — the reference compares octaves per
     observation, which needs the full [K,F] x [K,F] join; planned follow-up).
+
+    ``update_covis=False`` skips the tail covisibility rebuild — callers
+    chaining several map passes per keyframe rebuild once at the end.
+    ``counts``: optional precomputed observation counts (skips the recount).
     """
-    obs = point_observation_counts(m)
+    obs = point_observation_counts(m) if counts is None else counts
     bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
     pt_obs = jnp.where(bound, obs[jnp.clip(m.kf_obs_point, 0, m.pt_capacity - 1)], 0)
     n_tracked = jnp.sum(bound, axis=1)
@@ -485,4 +638,6 @@ def cull_keyframes(m: MapState, protect_slot) -> MapState:
                   m.kf_obs_point[victim])
     )
     m = m._replace(kf_valid=kf_valid, kf_obs_point=kf_obs)
-    return m._replace(covis=recompute_covisibility(m))
+    if update_covis:
+        m = m._replace(covis=recompute_covisibility(m))
+    return m

@@ -296,6 +296,57 @@ def apply_point_counters(m: MapState, vis_delta, found_delta) -> MapState:
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "do_triangulate", "do_fuse", "do_lba",
+                     "do_cull"),
+)
+def keyframe_stage(m: MapState, frame, bindings, config: SystemConfig,
+                   do_triangulate: bool, do_fuse: bool, do_lba: bool,
+                   do_cull: bool):
+    """The ENTIRE mapping-thread work for one keyframe as ONE device
+    program: evict -> insert -> point-cull -> triangulate -> fuse -> local
+    BA -> keyframe-cull -> covisibility rebuild.
+
+    This is the reference Mapping::Run loop body (src/mapping.cpp:48-116)
+    fused for the device: a single dispatch (no per-pass host round-trips,
+    which cost a full tunnel RTT each on remote TPU), ONE observation-count
+    recount threaded incrementally through every pass (each pass used to
+    recount: a [K*F]-slot scatter, ~35 ms at KITTI capacities), and ONE
+    covisibility rebuild at the end (insert refreshes just its own row).
+
+    Returns ``(m, slot)``; the do_* flags mirror the n_keyframes>=N
+    bootstrap ramp and are static (4 early-map variants, then steady state).
+    """
+    from .map_state import (
+        evict_oldest_if_full,
+        point_observation_counts,
+        recompute_covisibility,
+    )
+    from .triangulation import create_new_map_points
+
+    th_far = config.tracking.th_depth * config.camera.baseline_m
+    m = evict_oldest_if_full(m)
+    m, slot = insert_keyframe(m, frame, bindings, th_far, covis_mode="row")
+    counts = point_observation_counts(m)
+    m, counts = cull_points(m, m.next_kf_id - 1, counts=counts)
+    if do_triangulate:
+        m, counts = create_new_map_points(
+            m, slot, config, n_neighbors=10, update_covis=False,
+            counts=counts,
+        )
+    if do_fuse:
+        m, counts = run_fusion(m, slot, config, update_covis=False,
+                               counts=counts)
+    if do_lba:
+        m, counts = local_mapping_step(m, slot, config, update_covis=False,
+                                       counts=counts)
+    if do_cull:
+        m = cull_keyframes(m, slot, update_covis=False, counts=counts)
+    m = m._replace(covis=recompute_covisibility(m))
+    return m, slot
+
+
 class StereoSlam:
     """Host scheduler for the full pipeline (BASELINE configs 2-3):
     per-frame tracking stage + keyframe/local-BA stage + loop closing +
@@ -472,30 +523,17 @@ class StereoSlam:
         return self.config.tracking.th_depth * self.config.camera.baseline_m
 
     def _insert_keyframe(self, frame: FrameState, bindings):
-        from .map_state import evict_oldest_if_full
-
-        self.map = evict_oldest_if_full(self.map)
-        self.map, slot = insert_keyframe(
-            self.map, frame, bindings, self._th_far
+        # the whole mapping-thread work as one device program (see
+        # keyframe_stage); triangulation covers the stereo far-point
+        # densification too (CreateNewMapPoints, reference:
+        # src/mapping.cpp:280-525, 10 neighbours stereo vs 20 mono at :286)
+        self.map, slot = keyframe_stage(
+            self.map, frame, bindings, self.config,
+            do_triangulate=self.n_keyframes >= 1,
+            do_fuse=self.n_keyframes >= 1,
+            do_lba=self.n_keyframes >= 2,
+            do_cull=self.n_keyframes >= 4,
         )
-        # current KF id = next_kf_id - 1 (the slot just inserted); using the
-        # post-increment counter would age points one keyframe early
-        self.map = cull_points(self.map, self.map.next_kf_id - 1)
-        if self.n_keyframes >= 1:
-            # triangulate new far/unbound points against covisible KFs —
-            # the stereo mapping thread does this too, not just mono
-            # (CreateNewMapPoints, reference: src/mapping.cpp:280-525,
-            # 10 neighbours for stereo vs 20 mono at :286)
-            from .triangulation import create_new_map_points
-            self.map = create_new_map_points(
-                self.map, int(slot), self.config, n_neighbors=10
-            )
-        if self.n_keyframes >= 1:
-            self.map = run_fusion(self.map, slot, self.config)
-        if self.n_keyframes >= 2:
-            self.map = local_mapping_step(self.map, slot, self.config)
-        if self.n_keyframes >= 4:
-            self.map = cull_keyframes(self.map, slot)
         self.n_keyframes += 1
         self.frames_since_kf = 0
         self.last_kf_slot = int(slot)

@@ -40,10 +40,11 @@ def _fundamental_from_poses(T1_cw, T2_cw, K):
 
 
 def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
-                      enabled):
+                      enabled, counts=None):
     """Scan body: create new points from unmatched features of kf1/kf2;
     ``enabled=False`` makes the whole pass a masked no-op (invalid
-    neighbour slots in the fixed-size top-k list)."""
+    neighbour slots in the fixed-size top-k list).  With ``counts`` given,
+    returns ``(m, counts)`` with the new points' observation counts set."""
     cam = config.camera
     P, F = m.pt_capacity, m.feat_capacity
     K = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
@@ -204,7 +205,13 @@ def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
     m = m._replace(
         kf_obs_point=m.kf_obs_point.at[kf1].set(row1).at[kf2].set(row2)
     )
-    return m
+    if counts is None:
+        return m
+    # each created point starts with its two triangulating observations
+    counts = counts.at[safe].set(
+        jnp.where(created, 2, counts[safe])
+    )
+    return m, counts
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -214,22 +221,39 @@ def triangulate_with_neighbor(m: MapState, kf1, kf2, config: SystemConfig):
     return m._replace(covis=recompute_covisibility(m))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def create_new_map_points(m: MapState, new_kf_slot, config: SystemConfig,
-                          n_neighbors: int = N_TRI_NEIGHBORS) -> MapState:
+                          n_neighbors: int = N_TRI_NEIGHBORS,
+                          update_covis: bool = True, counts=None):
     """Triangulate against the best covisible neighbours — ONE jitted
     program: device top-k neighbour selection + lax.scan over the pair
     body (no host covis read, no per-neighbour dispatch; the keyframe
-    stage stays fully asynchronous on a remote device)."""
+    stage stays fully asynchronous on a remote device).
+
+    ``update_covis=False`` skips the tail covisibility rebuild — callers
+    chaining several map passes per keyframe rebuild once at the end.
+    ``counts``: optional observation counts threaded through (returns
+    ``(m, counts)`` when given)."""
     w = m.covis[new_kf_slot]
     _, nbrs = jax.lax.top_k(w, n_neighbors)
     wv = jnp.take(w, nbrs)
+    with_counts = counts is not None
 
-    def body(mm, i):
+    def body(carry, i):
+        if with_counts:
+            mm, cnt = carry
+            mm, cnt = _triangulate_pair(
+                mm, new_kf_slot, nbrs[i], config, wv[i] > 0, cnt
+            )
+            return (mm, cnt), None
         mm = _triangulate_pair(
-            mm, new_kf_slot, nbrs[i], config, wv[i] > 0
+            carry, new_kf_slot, nbrs[i], config, wv[i] > 0
         )
         return mm, None
 
-    m, _ = jax.lax.scan(body, m, jnp.arange(n_neighbors))
-    return m._replace(covis=recompute_covisibility(m))
+    init = (m, counts) if with_counts else m
+    out, _ = jax.lax.scan(body, init, jnp.arange(n_neighbors))
+    m = out[0] if with_counts else out
+    if update_covis:
+        m = m._replace(covis=recompute_covisibility(m))
+    return (m, out[1]) if with_counts else m

@@ -120,3 +120,47 @@ def test_ba_respects_fixed_poses():
     prob = prob._replace(opt_valid=prob.opt_valid.at[1].set(False))
     res = bundle_adjust(prob, **CAM, fix_first_pose=True)
     np.testing.assert_allclose(np.asarray(res.T_opt[1]), np.asarray(frozen))
+
+
+def test_ba_no_behind_camera_escape():
+    """A point with contradictory stereo observations must NOT be resolved by
+    pushing it behind the cameras: dropping behind-camera edges from the
+    accept-test cost used to let LM 'improve' monotonically that way
+    (observed 20-950 m point moves in local BA).  The behind penalty keeps
+    such points in front; the chi2 cut then classifies the losers out."""
+    # two cameras looking down +z from z=0 and z=0.5
+    T0 = np.eye(4, dtype=np.float32)
+    T1 = np.eye(4, dtype=np.float32)
+    T1[2, 3] = -0.5
+    pt = np.array([[0.5, 0.2, 10.0]], np.float32)
+
+    def obs(T, depth_for_ur):
+        p_c = pt[0] @ T[:3, :3].T + T[:3, 3]
+        u = CAM["fx"] * p_c[0] / p_c[2] + CAM["cx"]
+        v = CAM["fy"] * p_c[1] / p_c[2] + CAM["cy"]
+        return [u, v], u - CAM["bf"] / depth_for_ur
+
+    uv0, ur0 = obs(T0, 10.0)   # consistent: disparity says z=10
+    uv1, ur1 = obs(T1, 3.0)    # contradictory: disparity says z=3
+    prob = BAProblem(
+        T_opt=jnp.asarray(np.stack([T0, T1])),
+        opt_valid=jnp.ones((2,), bool),
+        T_fix=jnp.eye(4, dtype=jnp.float32)[None],
+        fix_valid=jnp.zeros((1,), bool),
+        pts=jnp.asarray(pt),
+        pt_valid=jnp.ones((1,), bool),
+        e_kf=jnp.asarray([0, 1], jnp.int32),
+        e_pt=jnp.asarray([0, 0], jnp.int32),
+        e_uv=jnp.asarray(np.asarray([uv0, uv1], np.float32)),
+        e_ur=jnp.asarray(np.asarray([ur0, ur1], np.float32)),
+        e_sigma2=jnp.ones((2,), jnp.float32),
+        e_valid=jnp.ones((2,), bool),
+    )
+    res = bundle_adjust(prob, **CAM, fix_first_pose=True)
+    p = np.asarray(res.pts[0])
+    assert np.isfinite(p).all()
+    # still in front of both cameras and within a sane band
+    for T in (np.asarray(res.T_opt[0]), np.asarray(res.T_opt[1])):
+        z = (pt_c := p @ T[:3, :3].T + T[:3, 3])[2]
+        assert z > 0.5, f"point escaped behind camera: z={z}"
+    assert np.linalg.norm(p - pt[0]) < 8.0, p

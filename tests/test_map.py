@@ -244,3 +244,28 @@ def test_evict_oldest_if_full():
     # not full anymore => no-op
     m3 = ms.evict_oldest_if_full(m2)
     assert int(jnp.sum(m3.kf_valid)) == 3
+
+
+def test_covis_row_update_matches_full_rebuild():
+    """covis_update_row must count DISTINCT shared points exactly like the
+    incidence-Gram rebuild, including rows where fusion merges left the same
+    point bound at several features (the per-feature sum over-counted and
+    silently corrupted neighbour selection)."""
+    pts, descs = _world(0)
+    m = ms.empty_map(8, 1024, F)
+    for k, z in enumerate([0.0, 0.5, 1.0]):
+        fr = _synth_frame(_pose(z), pts, descs, seed=k)
+        m, slot = ms.insert_keyframe(
+            m, fr, -jnp.ones((F,), jnp.int32), close_depth_limit=1e9
+        )
+    # duplicate bindings: bind point 0 at three features of keyframe 1
+    row = m.kf_obs_point[1]
+    row = row.at[10].set(int(row[0])).at[11].set(int(row[0]))
+    m = m._replace(kf_obs_point=m.kf_obs_point.at[1].set(row))
+    full = ms.recompute_covisibility(m)
+    m_stale = m._replace(covis=jnp.zeros_like(m.covis))
+    for slot in range(3):
+        m_stale = ms.covis_update_row(m_stale, slot)
+    np.testing.assert_array_equal(
+        np.asarray(full), np.asarray(m_stale.covis)
+    )
