@@ -26,6 +26,8 @@ from ..utils.config import SystemConfig
 from .map_state import MapState, point_observation_counts, recompute_covisibility
 
 N_FUSE_NEIGHBORS = 10   # reference: 10 covisible (stereo), src/mapping.cpp:569
+FUSE_CAND_CAP = 1024    # forward candidate cap (bound features of one KF)
+FUSE_REV_CAP = 2048     # reverse cap (distinct neighbour points)
 
 
 def _project_gate(m: MapState, pt_slots, T_cw, config: SystemConfig):
@@ -205,6 +207,16 @@ def run_fusion(m: MapState, new_kf_slot, config: SystemConfig,
     new_pts = jnp.where(
         m.kf_feat_valid[new_kf_slot], m.kf_obs_point[new_kf_slot], -1
     )                                                       # [F]
+    # compress the forward candidate list: only the bound features matter
+    # (~30-60% of F), and every per-candidate op in fuse_into_keyframe — the
+    # [C, F] Hamming matrix above all — scales with the list length
+    okm = new_pts >= 0
+    rank = jnp.cumsum(okm.astype(jnp.int32)) - 1
+    cap = FUSE_CAND_CAP
+    dst = jnp.where(okm & (rank < cap), rank, cap)
+    new_pts = jnp.full((cap + 1,), -1, jnp.int32).at[dst].max(
+        jnp.where(okm, new_pts, -1)
+    )[:cap]
 
     with_counts = counts is not None
     counts0 = counts if with_counts else point_observation_counts(m)
@@ -237,8 +249,8 @@ def run_fusion(m: MapState, new_kf_slot, config: SystemConfig,
     cand = jnp.where((cand >= 0) & (jnp.take(first, safe) == order), cand, -1)
     # compress to F slots (enough: a KF has at most F features to bind)
     rank = jnp.cumsum((cand >= 0).astype(jnp.int32)) - 1
-    comp = jnp.full((2 * F,), -1, jnp.int32).at[
-        jnp.where((cand >= 0) & (rank < 2 * F), rank, 2 * F - 1)
+    comp = jnp.full((FUSE_REV_CAP,), -1, jnp.int32).at[
+        jnp.where((cand >= 0) & (rank < FUSE_REV_CAP), rank, FUSE_REV_CAP - 1)
     ].max(jnp.where(cand >= 0, cand, -1))
     m, counts = fuse_into_keyframe(m, new_kf_slot, comp, config, counts)
     if update_covis:

@@ -26,6 +26,7 @@ from ..utils.config import SystemConfig
 from .map_state import MapState, _alloc_point_slots, recompute_covisibility
 
 N_TRI_NEIGHBORS = 10   # stereo (mono uses 20, reference: src/mapping.cpp:286)
+TRI_CAND_CAP = 512     # matched candidates triangulated per pair (see below)
 
 
 def _fundamental_from_poses(T1_cw, T2_cw, K):
@@ -106,11 +107,30 @@ def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
     first = jnp.full((F,), F).at[best2].min(jnp.where(keep, order, F))
     keep = keep & (jnp.take(first, best2) == order)
 
+    # --- compress matched candidates to TRI_CAND_CAP rows ----------------
+    # DLT (a batched 4x4 SVD, the stage's hottest op) and every gate below
+    # are per-candidate; at most a few hundred of the F feature rows survive
+    # ``keep``, so running them dense wastes ~4x device time per pair.
+    # Semantics unchanged: same candidates, same math, overflow beyond the
+    # cap is dropped (cap is ~2x the densest observed pair).
+    C = TRI_CAND_CAP
+    crank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    cdst = jnp.where(keep & (crank < C), crank, C)
+    c_src = jnp.zeros((C + 1,), jnp.int32).at[cdst].max(order)[:C]
+    c_ok = jnp.zeros((C + 1,), bool).at[cdst].set(keep)[:C]
+
+    xy1_c = xy1[c_src]
+    oct1_c = oct1[c_src]
+    ur1_c = m.kf_uright[kf1][c_src]
+    b2_c = best2[c_src]
+    uv2_c = xy2[b2_c]
+    oct2_c = oct2[b2_c]
+    ur2_c = m.kf_uright[kf2][b2_c]
+
     # triangulate
     P1 = K @ T1[:3, :]
     P2 = K @ T2[:3, :]
-    uv2_m = xy2[best2]
-    X = lie.triangulate_linear(P1, P2, xy1, uv2_m)           # [F, 3]
+    X = lie.triangulate_linear(P1, P2, xy1_c, uv2_c)         # [C, 3]
 
     # gates: cheirality, reprojection, parallax, scale consistency
     pc1 = lie.transform_points(T1[None], X[None])[0]
@@ -120,28 +140,27 @@ def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
     uv1_hat = lie.project(pc1, cam.fx, cam.fy, cam.cx, cam.cy)
     uv2_hat = lie.project(pc2, cam.fx, cam.fy, cam.cx, cam.cy)
     sigma2_1 = jnp.power(
-        jnp.float32(config.orb.scale_factor), 2.0 * oct1.astype(jnp.float32)
+        jnp.float32(config.orb.scale_factor), 2.0 * oct1_c.astype(jnp.float32)
     )
-    e1 = jnp.sum((uv1_hat - xy1) ** 2, axis=1)
-    e2 = jnp.sum((uv2_hat - uv2_m) ** 2, axis=1)
+    sigma2_2c = jnp.power(
+        jnp.float32(config.orb.scale_factor), 2.0 * oct2_c.astype(jnp.float32)
+    )
+    e1 = jnp.sum((uv1_hat - xy1_c) ** 2, axis=1)
+    e2 = jnp.sum((uv2_hat - uv2_c) ** 2, axis=1)
     # stereo-observed features additionally check the right-image coordinate
     # (3-DoF chi2 at 7.815, reference: src/mapping.cpp:434-470).  Without
     # this a DLT candidate can contradict the feature's OWN disparity; the
     # resulting pair of inconsistent stereo edges later makes local BA drag
     # the point to a bogus compromise depth and erase the good observation.
-    ur1 = m.kf_uright[kf1]
-    ur2 = m.kf_uright[kf2][best2]
     z1s = jnp.maximum(pc1[:, 2], 1e-6)
     z2s = jnp.maximum(pc2[:, 2], 1e-6)
     ur1_hat = uv1_hat[:, 0] - cam.bf / z1s
     ur2_hat = uv2_hat[:, 0] - cam.bf / z2s
-    e1_tot = jnp.where(ur1 >= 0, e1 + (ur1 - ur1_hat) ** 2, e1)
-    e2_tot = jnp.where(ur2 >= 0, e2 + (ur2 - ur2_hat) ** 2, e2)
-    th1 = jnp.where(ur1 >= 0, 7.815, 5.991)
-    th2 = jnp.where(ur2 >= 0, 7.815, 5.991)
-    reproj_ok = (e1_tot <= th1 * sigma2_1) & (
-        e2_tot <= th2 * sigma2_2[best2]
-    )
+    e1_tot = jnp.where(ur1_c >= 0, e1 + (ur1_c - ur1_hat) ** 2, e1)
+    e2_tot = jnp.where(ur2_c >= 0, e2 + (ur2_c - ur2_hat) ** 2, e2)
+    th1 = jnp.where(ur1_c >= 0, 7.815, 5.991)
+    th2 = jnp.where(ur2_c >= 0, 7.815, 5.991)
+    reproj_ok = (e1_tot <= th1 * sigma2_1) & (e2_tot <= th2 * sigma2_2c)
 
     r1 = X - c1
     r2 = X - c2
@@ -153,7 +172,7 @@ def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
     ratio_dist = d2 / d1
     ratio_octave = jnp.power(
         jnp.float32(config.orb.scale_factor),
-        (oct2[best2] - oct1).astype(jnp.float32),
+        (oct2_c - oct1_c).astype(jnp.float32),
     )
     rf = 1.5 * config.orb.scale_factor
     scale_ok = (ratio_dist < ratio_octave * rf) & (
@@ -161,7 +180,7 @@ def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
     )
 
     want = (
-        keep & z_ok & reproj_ok & parallax_ok & scale_ok
+        c_ok & z_ok & reproj_ok & parallax_ok & scale_ok
         & (baseline > 0.01) & enabled
     )
 
@@ -172,7 +191,9 @@ def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
 
     view = X - c1
     normal = view / (jnp.linalg.norm(view, axis=1, keepdims=True) + 1e-9)
-    scale1 = jnp.power(jnp.float32(config.orb.scale_factor), oct1.astype(jnp.float32))
+    scale1 = jnp.power(
+        jnp.float32(config.orb.scale_factor), oct1_c.astype(jnp.float32)
+    )
     max_dist = d1 * scale1
     min_dist = max_dist / jnp.power(
         jnp.float32(config.orb.scale_factor), float(config.orb.n_levels - 1)
@@ -185,22 +206,22 @@ def _triangulate_pair(m: MapState, kf1, kf2, config: SystemConfig,
     m = m._replace(
         pt_valid=m.pt_valid.at[safe].set(created | m.pt_valid[safe]),
         pt_pos=upd(m.pt_pos, X),
-        pt_desc=upd(m.pt_desc, m.kf_desc[kf1]),
+        pt_desc=upd(m.pt_desc, m.kf_desc[kf1][c_src]),
         pt_normal=upd(m.pt_normal, normal),
         pt_min_dist=upd(m.pt_min_dist, min_dist),
         pt_max_dist=upd(m.pt_max_dist, max_dist),
-        pt_ref_kf=upd(m.pt_ref_kf, jnp.full((F,), 0, jnp.int32) + kf1),
+        pt_ref_kf=upd(m.pt_ref_kf, jnp.full((C,), 0, jnp.int32) + kf1),
         pt_first_kf_id=upd(
-            m.pt_first_kf_id, jnp.full((F,), 0, jnp.int32) + m.kf_id[kf1]
+            m.pt_first_kf_id, jnp.full((C,), 0, jnp.int32) + m.kf_id[kf1]
         ),
-        pt_visible=upd(m.pt_visible, jnp.ones((F,), jnp.int32)),
-        pt_found=upd(m.pt_found, jnp.ones((F,), jnp.int32)),
+        pt_visible=upd(m.pt_visible, jnp.ones((C,), jnp.int32)),
+        pt_found=upd(m.pt_found, jnp.ones((C,), jnp.int32)),
     )
     # bind in both keyframes
-    row1 = m.kf_obs_point[kf1].at[jnp.where(created, order, 0)].max(
+    row1 = m.kf_obs_point[kf1].at[jnp.where(created, c_src, 0)].max(
         jnp.where(created, slots, -1)
     )
-    f2_tgt = jnp.where(created, best2, 0)
+    f2_tgt = jnp.where(created, b2_c, 0)
     row2 = m.kf_obs_point[kf2].at[f2_tgt].max(jnp.where(created, slots, -1))
     m = m._replace(
         kf_obs_point=m.kf_obs_point.at[kf1].set(row1).at[kf2].set(row2)
