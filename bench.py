@@ -151,13 +151,13 @@ def main():
     # ---- FULL SLAM pipeline (keyframes + local BA + fusion + culling +
     # loop detection): the reference's benchmarkable path is the whole
     # system (src/kittirunner.cpp:99-173), not the VO slice --------------
-    full_fps, worst_ms, kf_frames = bench_full_slam(cfg)
+    full_fps, worst_ms, kf_frames, ate_m, warm_s = bench_full_slam(cfg)
 
     baseline_fps = 15.0  # reference real-time operating point (see docstring)
     metric = "tracked_frames_per_s_full_slam_kitti_sized_stereo"
     if cpu_fallback:
         metric += "_CPU_FALLBACK_tpu_backend_unreachable"
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(full_fps, 2),
         "unit": "frames/s",
@@ -166,7 +166,14 @@ def main():
         "vo_latency_ms": round(lat_ms, 1),
         "worst_frame_ms": round(worst_ms, 1),
         "keyframe_frames": kf_frames,
-    }))
+        "ate_m": round(ate_m, 3),
+        "warmup_s": round(warm_s, 1),
+    }
+    # accuracy guard: speed must not be bought with accuracy (north-star
+    # metric couples ATE RMSE with frames/s, BASELINE.md)
+    if ate_m > 0.5:
+        out["warning"] = f"ATE {ate_m:.3f} m exceeds the 0.5 m bound"
+    print(json.dumps(out))
 
 
 def bench_full_slam(cfg, n_frames: int = 48, n_warm: int = 16):
@@ -187,31 +194,46 @@ def bench_full_slam(cfg, n_frames: int = 48, n_warm: int = 16):
     rights = jax.device_put(np.asarray(rights))
 
     slam = StereoSlam(cfg)
+    est_poses = []
+    gt_used = []
     # warmup: compiles the tracking step AND the keyframe stage programs
     t0 = time.time()
     for i in range(n_warm):
-        slam.process(lefts[i], rights[i], timestamp=i / 15.0)
-    print(f"full-SLAM compile+warmup: {time.time()-t0:.1f}s "
+        T = slam.process(lefts[i], rights[i], timestamp=i / 15.0)
+        if T is not None:
+            est_poses.append(np.asarray(T))
+            gt_used.append(np.asarray(gt_poses[i]))
+    warm_s = time.time() - t0
+    print(f"full-SLAM compile+warmup: {warm_s:.1f}s "
           f"(kfs={slam.n_keyframes})", file=sys.stderr)
 
     times = []
     kf_before = slam.n_keyframes
     for i in range(n_warm, n_frames):
         t1 = time.time()
-        slam.process(lefts[i], rights[i], timestamp=i / 15.0)
+        T = slam.process(lefts[i], rights[i], timestamp=i / 15.0)
         times.append(time.time() - t1)
+        if T is not None:
+            est_poses.append(np.asarray(T))
+            gt_used.append(np.asarray(gt_poses[i]))
     total = sum(times)
     fps = len(times) / total
     worst_ms = max(times) * 1e3
     kf_frames = slam.n_keyframes - kf_before
+
+    # accuracy alongside throughput (north-star: ATE RMSE + frames/s).
+    # The synthetic gt is expressed in the first frame's camera frame, like
+    # the estimate, so alignment only absorbs the residual gauge.
+    from opendlv_perception_vision_orbslam2_tpu.utils.trajectory import ate_rmse
+    ate_m = ate_rmse(est_poses, gt_used, align=True)
     print(
         f"full-SLAM frames/s={fps:.2f} worst-frame={worst_ms:.1f} ms "
         f"median={np.median(times)*1e3:.1f} ms keyframes={kf_frames} "
         f"map_pts={int(np.asarray(slam.map.pt_valid).sum())} "
-        f"lost={slam.lost}",
+        f"lost={slam.lost} ate={ate_m:.3f} m loops={slam.loops_closed}",
         file=sys.stderr,
     )
-    return fps, worst_ms, kf_frames
+    return fps, worst_ms, kf_frames, ate_m, warm_s
 
 
 if __name__ == "__main__":

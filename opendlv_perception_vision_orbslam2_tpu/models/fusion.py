@@ -26,8 +26,12 @@ from ..utils.config import SystemConfig
 from .map_state import MapState, point_observation_counts, recompute_covisibility
 
 N_FUSE_NEIGHBORS = 10   # reference: 10 covisible (stereo), src/mapping.cpp:569
-FUSE_CAND_CAP = 1024    # forward candidate cap (bound features of one KF)
-FUSE_REV_CAP = 2048     # reverse cap (distinct neighbour points)
+# Candidate-list caps are sized relative to the feature capacity F at trace
+# time (see run_fusion): the forward list holds the new KF's bound features
+# (<= F by construction) and the reverse list distinct neighbour points
+# (<= 2F covers the 10-neighbour union in practice), so nothing silently
+# truncates at the default config (advisor r3 finding).
+FUSE_REV_CAP = 2048     # legacy name kept for tests; see _rev_cap below
 
 
 def _project_gate(m: MapState, pt_slots, T_cw, config: SystemConfig):
@@ -63,22 +67,20 @@ def _project_gate(m: MapState, pt_slots, T_cw, config: SystemConfig):
     return visible, uv, pred_oct, z
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def fuse_into_keyframe(m: MapState, target_slot, cand_pt_slots,
-                       config: SystemConfig, counts=None):
-    """Project candidate points into keyframe ``target_slot``; bind matches,
-    merge duplicates.  ``cand_pt_slots [C]`` map point slots (-1 pad).
+def _fuse_core(kf_obs_point, pt_valid, counts, m: MapState, target_slot,
+               cand_pt_slots, config: SystemConfig):
+    """Fusion body over the MUTABLE state triple (bindings, point validity,
+    observation counts).
 
-    ``counts``: optional precomputed per-point observation counts [P].  The
-    full recount is a [K*F]-slot scatter (~35 ms at KITTI capacities); the
-    fusion loop calls this 11x per keyframe, so callers thread the counts
-    through and this function returns ``(m, counts)`` with incremental
-    updates (new bind: +1; merge: winner absorbs loser, reference:
-    src/orbmappoint.cpp Replace semantics).  With ``counts=None`` they are
-    recomputed here and the same pair is returned."""
+    The neighbour loop in run_fusion used to carry the entire MapState
+    through its fori_loop — every iteration re-selected (jnp.where) all
+    ~40 MB of immutable keyframe tensors.  Fusion only ever writes the
+    [K,F] binding table, the [P] validity mask and the [P] counts, so the
+    loop carries exactly those; everything else reads from the closed-over
+    ``m`` (positions/descriptors/geometry are not modified by fusion).
+    """
     P, F = m.pt_capacity, m.feat_capacity
-    if counts is None:
-        counts = point_observation_counts(m)
+    m = m._replace(kf_obs_point=kf_obs_point, pt_valid=pt_valid)
     T_t = m.kf_T_cw[target_slot]
     visible, uv, pred_oct, z = _project_gate(m, cand_pt_slots, T_t, config)
     slots = jnp.clip(cand_pt_slots, 0, P - 1)
@@ -143,8 +145,7 @@ def fuse_into_keyframe(m: MapState, target_slot, cand_pt_slots,
     row = m.kf_obs_point[target_slot].at[tgt_feat].max(
         jnp.where(is_new_bind, slots, -1)
     )
-    obs = m.kf_obs_point.at[target_slot].set(row)
-    m = m._replace(kf_obs_point=obs)
+    kf_obs_point = m.kf_obs_point.at[target_slot].set(row)
 
     # counts gain the new bindings (what a recount here would see)
     counts = counts.at[jnp.where(is_new_bind, slots, P - 1)].add(
@@ -167,24 +168,43 @@ def fuse_into_keyframe(m: MapState, target_slot, cand_pt_slots,
     replace = replace[replace]
 
     new_obs = jnp.where(
-        m.kf_obs_point >= 0,
-        replace[jnp.clip(m.kf_obs_point, 0, P - 1)],
-        m.kf_obs_point,
+        kf_obs_point >= 0,
+        replace[jnp.clip(kf_obs_point, 0, P - 1)],
+        kf_obs_point,
     )
     dead = jnp.zeros((P,), bool).at[
         jnp.where(loser >= 0, jnp.clip(loser, 0, P - 1), P - 1)
     ].set(loser >= 0)
     dead = dead.at[P - 1].set(False)
-    # winner absorbs the loser's observations (Replace merges both counts)
+    # winner absorbs the loser's observations (Replace merges both counts).
+    # Bounded divergence (documented): when the same existing point loses to
+    # two candidates in one call, each winner absorbs the full loser count
+    # and >2-long merge chains resolve only partially — the stage-end
+    # recount in mapping_stage re-derives exact counts before any decision
+    # that outlives the stage (verified max|threaded-recount| = 0 there).
     loser_n = jnp.where(loser >= 0, counts[jnp.clip(loser, 0, P - 1)], 0)
     counts = counts.at[
         jnp.where(winner >= 0, jnp.clip(winner, 0, P - 1), P - 1)
     ].add(loser_n).at[P - 1].set(0)
     counts = jnp.where(dead, 0, counts)
-    return m._replace(
-        kf_obs_point=new_obs,
-        pt_valid=m.pt_valid & (~dead),
-    ), counts
+    return new_obs, pt_valid & (~dead), counts
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def fuse_into_keyframe(m: MapState, target_slot, cand_pt_slots,
+                       config: SystemConfig, counts=None):
+    """Project candidate points into keyframe ``target_slot``; bind matches,
+    merge duplicates.  ``cand_pt_slots [C]`` map point slots (-1 pad).
+
+    ``counts``: optional precomputed per-point observation counts [P]; when
+    given the recount is skipped.  Returns ``(m, counts)``."""
+    if counts is None:
+        counts = point_observation_counts(m)
+    obs, pt_valid, counts = _fuse_core(
+        m.kf_obs_point, m.pt_valid, counts, m, target_slot, cand_pt_slots,
+        config,
+    )
+    return m._replace(kf_obs_point=obs, pt_valid=pt_valid), counts
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -207,12 +227,13 @@ def run_fusion(m: MapState, new_kf_slot, config: SystemConfig,
     new_pts = jnp.where(
         m.kf_feat_valid[new_kf_slot], m.kf_obs_point[new_kf_slot], -1
     )                                                       # [F]
-    # compress the forward candidate list: only the bound features matter
-    # (~30-60% of F), and every per-candidate op in fuse_into_keyframe — the
-    # [C, F] Hamming matrix above all — scales with the list length
+    # compress the forward candidate list: only the bound features matter,
+    # and every per-candidate op in _fuse_core — the [C, F] Hamming matrix
+    # above all — scales with the list length.  Cap = F: a keyframe cannot
+    # bind more than F points, so the compression never drops candidates.
     okm = new_pts >= 0
     rank = jnp.cumsum(okm.astype(jnp.int32)) - 1
-    cap = FUSE_CAND_CAP
+    cap = F
     dst = jnp.where(okm & (rank < cap), rank, cap)
     new_pts = jnp.full((cap + 1,), -1, jnp.int32).at[dst].max(
         jnp.where(okm, new_pts, -1)
@@ -222,19 +243,24 @@ def run_fusion(m: MapState, new_kf_slot, config: SystemConfig,
     counts0 = counts if with_counts else point_observation_counts(m)
 
     def body(i, carry):
-        m, counts = carry
+        obs, pt_valid, counts = carry
         tgt = nb_slots[i]
-        fused, counts_new = fuse_into_keyframe(m, tgt, new_pts, config,
-                                               counts)
+        obs_n, ptv_n, cnt_n = _fuse_core(
+            obs, pt_valid, counts, m, tgt, new_pts, config
+        )
         keep = nb_ok[i]
-        m = jax.tree.map(lambda a, b: jnp.where(keep, a, b), fused, m)
-        counts = jnp.where(keep, counts_new, counts)
-        return m, counts
+        return (
+            jnp.where(keep, obs_n, obs),
+            jnp.where(keep, ptv_n, pt_valid),
+            jnp.where(keep, cnt_n, counts),
+        )
 
-    m, counts = jax.lax.fori_loop(0, n_neighbors, body, (m, counts0))
+    obs, pt_valid, counts = jax.lax.fori_loop(
+        0, n_neighbors, body, (m.kf_obs_point, m.pt_valid, counts0)
+    )
 
     # reverse direction: neighbours' points into the new KF
-    nb_binds = m.kf_obs_point[nb_slots]                     # [N, F]
+    nb_binds = obs[nb_slots]                                # [N, F]
     nb_bok = (
         m.kf_feat_valid[nb_slots] & (nb_binds >= 0) & nb_ok[:, None]
     )
@@ -247,12 +273,17 @@ def run_fusion(m: MapState, new_kf_slot, config: SystemConfig,
         jnp.where(cand >= 0, order, cand.shape[0])
     )
     cand = jnp.where((cand >= 0) & (jnp.take(first, safe) == order), cand, -1)
-    # compress to F slots (enough: a KF has at most F features to bind)
+    # compress to 2F slots (covers the distinct-point union of the
+    # 10-neighbour window; overflow beyond 2F is dropped oldest-last)
+    rev_cap = 2 * F
     rank = jnp.cumsum((cand >= 0).astype(jnp.int32)) - 1
-    comp = jnp.full((FUSE_REV_CAP,), -1, jnp.int32).at[
-        jnp.where((cand >= 0) & (rank < FUSE_REV_CAP), rank, FUSE_REV_CAP - 1)
+    comp = jnp.full((rev_cap,), -1, jnp.int32).at[
+        jnp.where((cand >= 0) & (rank < rev_cap), rank, rev_cap - 1)
     ].max(jnp.where(cand >= 0, cand, -1))
-    m, counts = fuse_into_keyframe(m, new_kf_slot, comp, config, counts)
+    obs, pt_valid, counts = _fuse_core(
+        obs, pt_valid, counts, m, new_kf_slot, comp, config
+    )
+    m = m._replace(kf_obs_point=obs, pt_valid=pt_valid)
     if update_covis:
         m = m._replace(covis=recompute_covisibility(m))
     return (m, counts) if with_counts else m

@@ -128,7 +128,13 @@ class IncrementalGBA:
     the instance (abort = discard)."""
 
     def __init__(self, m: MapState, config: SystemConfig,
-                 n_outer_total: int = 10, cg_iters: int = 40):
+                 n_outer_total: int = 10, cg_iters: int = 40,
+                 sharded: bool | None = None):
+        """``sharded``: None = auto (edge-sharded when >1 local device);
+        False forces the single-device solve (bitwise-deterministic chunking
+        — psum order in the sharded path perturbs floats ~1e-3)."""
+        import jax
+
         from ..optim.gba import gba_init_carry
 
         self.config = config
@@ -141,17 +147,47 @@ class IncrementalGBA:
         self.snap_kf_valid = m.kf_valid
         self.snap_pt_valid = m.pt_valid
         self.snap_pt_first_kf_id = m.pt_first_kf_id
+        # PRODUCTION multi-chip path (P8): with >1 local device the solve
+        # runs edge-sharded over the full mesh — poses/landmarks replicate,
+        # each reduction is one psum over ICI (parallel/sharded_ba.py).
+        self._sharded = None
+        n_dev = jax.local_device_count()
+        if sharded is False:
+            n_dev = 1
+        if n_dev > 1:
+            import numpy as _np
+
+            from ..parallel.sharded_ba import (
+                make_sharded_gba_chunk,
+                pad_edges_to_multiple,
+                shard_problem,
+            )
+            from jax.sharding import Mesh
+
+            cam = config.camera
+            mesh = Mesh(
+                _np.array(jax.devices()[:n_dev]).reshape(n_dev), ("edges",)
+            )
+            self.prob = pad_edges_to_multiple(self.prob, n_dev)
+            self.prob = shard_problem(self.prob, mesh, "edges")
+            self._sharded = make_sharded_gba_chunk(
+                mesh, "edges", fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                bf=cam.bf, n_outer=1, cg_iters=cg_iters,
+            )
 
     def step(self) -> bool:
         """One bounded chunk; returns True when the solve is finished."""
         from ..optim.gba import global_bundle_adjust_chunk
 
         cam = self.config.camera
-        self.carry = global_bundle_adjust_chunk(
-            self.prob, self.carry,
-            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
-            n_outer=1, cg_iters=self.cg_iters,
-        )
+        if self._sharded is not None:
+            self.carry = self._sharded(self.prob, self.carry)
+        else:
+            self.carry = global_bundle_adjust_chunk(
+                self.prob, self.carry,
+                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+                n_outer=1, cg_iters=self.cg_iters,
+            )
         self.iters_left -= 1
         return self.iters_left <= 0
 

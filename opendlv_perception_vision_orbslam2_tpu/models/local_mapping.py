@@ -30,7 +30,15 @@ from .map_state import MapState, recompute_covisibility
 KO_DEFAULT = 8       # optimizable window size
 KFIX_DEFAULT = 8     # fixed observers
 PL_DEFAULT = 4096    # local point capacity (unique points in an 8-KF window)
-EL_DEFAULT = 8192    # compressed edge capacity (see extract_local_ba)
+# Compressed edge capacity (see extract_local_ba).  Sized for the
+# OPTIMIZABLE window worst case: 8 KFs x 2048 features could reach 16k
+# bound slots in theory, but bound density tops out near 45% on dense
+# scenes (~7.4k optimizable edges) and row-major compression keeps
+# optimizable-KF edges first, so overflow only ever sheds fixed-observer
+# edges (gauge context, not optimized state).  12k covers the observed
+# worst case with ~60% headroom over the round-3 cap that could clip the
+# post-BA outlier-erasure (advisor r3 finding).
+EL_DEFAULT = 12288
 
 
 class LocalBAExtract(NamedTuple):

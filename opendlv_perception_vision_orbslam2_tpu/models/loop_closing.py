@@ -461,21 +461,37 @@ class LoopCloser:
         self.defer_gba = False
 
     def on_keyframe(self, m: MapState, db: KeyFrameDatabase, kf_nodes,
-                    kf_slot: int):
-        """Returns (map, loop_closed: bool, T_corrected_cur or None)."""
-        kf_id = int(m.kf_id[kf_slot])
+                    kf_slot: int, kf_id: int | None = None):
+        """Returns (map, loop_closed: bool, T_corrected_cur or None).
+
+        ``kf_id``: the keyframe's stable id when the caller knows it (the
+        host scheduler tracks insertion order), saving a device read.  All
+        remaining per-keyframe reads batch into ONE transfer — on a
+        tunneled TPU each separate fetch costs a full RTT, and the round-3
+        code paid five plus a [K,K] covisibility download per keyframe.
+        """
+        if kf_id is None:
+            kf_id = int(m.kf_id[kf_slot])
         # skip if <10 KFs since last loop (reference: src/loopclosing.cpp:104)
-        if kf_id - self.last_loop_kf_id < 10 or int(jnp.sum(m.kf_valid)) < 10:
+        if kf_id - self.last_loop_kf_id < 10:
             return m, False, None
 
-        cands, scores = loop_candidates(m, db, kf_slot)
-        cands = [int(c) for c in np.asarray(cands) if int(c) >= 0]
+        cands_d, scores = loop_candidates(m, db, kf_slot)
+        safe_c = jnp.clip(cands_d, 0, m.kf_capacity - 1)
+        cands_np, n_valid, kf_ids, covis_rows = jax.device_get((
+            cands_d, jnp.sum(m.kf_valid), m.kf_id,
+            m.covis[safe_c] > 0,                      # [n_cand, K] bool
+        ))
+        if int(n_valid) < 10:
+            return m, False, None
+        cand_rows = {
+            int(c): covis_rows[i] for i, c in enumerate(cands_np) if c >= 0
+        }
+        cands = list(cand_rows.keys())
         if not cands:
             self.prev_groups, self.prev_counts = [], []
             return m, False, None
 
-        covis = np.asarray(m.covis)
-        kf_ids = np.asarray(m.kf_id)
         accepted = None
         new_groups, new_counts = [], []
         for c in cands:
@@ -483,7 +499,7 @@ class LoopCloser:
             # capacity eviction between keyframes recycles slot indices,
             # which would silently re-index a slot-keyed group
             group = {int(kf_ids[c])} | {
-                int(kf_ids[j]) for j in np.nonzero(covis[c] > 0)[0]
+                int(kf_ids[j]) for j in np.nonzero(cand_rows[c])[0]
             }
             count = 0
             for g_prev, c_prev in zip(self.prev_groups, self.prev_counts):

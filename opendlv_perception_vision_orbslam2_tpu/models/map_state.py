@@ -123,6 +123,67 @@ def empty_map(kf_capacity: int, pt_capacity: int, feat_capacity: int) -> MapStat
     )
 
 
+@functools.partial(jax.jit, static_argnames=("new_kf_capacity",
+                                              "new_pt_capacity"))
+def grow_map(m: MapState, new_kf_capacity: int,
+             new_pt_capacity: int) -> MapState:
+    """Grow the map to larger static capacities by padding (slot indices are
+    preserved, so every binding/covis entry stays valid).
+
+    TPU-first capacity bucketing: the reference's heap map grows per
+    allocation (no reference analogue for fixed capacity at all); with XLA's
+    static shapes the equivalent is a small ladder of compiled buckets —
+    every [P]-scatter, [K,P] incidence build and [K,K] Gram in the per-frame
+    programs then scales with the actual map size instead of the worst case.
+    The host scheduler calls this when occupancy nears the current bucket.
+
+    The old reserved dump slots (old P-1 / padded rows) become ordinary free
+    slots: they are invalid (``pt_valid``/``kf_valid`` False) and every field
+    is rewritten at allocation time, so stale contents are unreachable.
+    """
+    K_old, P_old, F = m.kf_capacity, m.pt_capacity, m.feat_capacity
+    K, P = new_kf_capacity, new_pt_capacity
+    dK, dP = K - K_old, P - P_old
+    assert dK >= 0 and dP >= 0
+
+    def pad(arr, n_new, fill=0):
+        pads = [(0, n_new - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, pads, constant_values=fill)
+
+    eye_k = jnp.tile(jnp.eye(4, dtype=jnp.float32), (dK, 1, 1))
+    return MapState(
+        kf_valid=pad(m.kf_valid, K),
+        kf_id=pad(m.kf_id, K, -1),
+        kf_T_cw=jnp.concatenate([m.kf_T_cw, eye_k], axis=0),
+        kf_xy=pad(m.kf_xy, K),
+        kf_octave=pad(m.kf_octave, K),
+        kf_angle=pad(m.kf_angle, K),
+        kf_desc=pad(m.kf_desc, K),
+        kf_uright=pad(m.kf_uright, K, -1),
+        kf_depth=pad(m.kf_depth, K, -1),
+        kf_feat_valid=pad(m.kf_feat_valid, K),
+        kf_obs_point=pad(m.kf_obs_point, K, -1),
+        pt_valid=pad(m.pt_valid, P),
+        pt_pos=pad(m.pt_pos, P),
+        pt_desc=pad(m.pt_desc, P),
+        pt_normal=pad(m.pt_normal, P),
+        pt_min_dist=pad(m.pt_min_dist, P),
+        pt_max_dist=pad(m.pt_max_dist, P, 1e9),
+        pt_ref_kf=pad(m.pt_ref_kf, P, -1),
+        pt_first_kf_id=pad(m.pt_first_kf_id, P, -1),
+        pt_visible=pad(m.pt_visible, P, 1),
+        pt_found=pad(m.pt_found, P, 1),
+        covis=jnp.pad(m.covis, ((0, dK), (0, dK))),
+        next_kf_id=m.next_kf_id,
+        next_pt_id=m.next_pt_id,
+        loop_i=m.loop_i,
+        loop_j=m.loop_j,
+        loop_T=m.loop_T,
+        loop_s=m.loop_s,
+        loop_valid=m.loop_valid,
+    )
+
+
 @jax.jit
 def add_loop_edge(m: MapState, cur_slot, cand_slot, T_rel, s_rel) -> MapState:
     """Record an accepted loop edge (AddLoopEdge, reference:
@@ -538,6 +599,43 @@ def refresh_windowed(m: MapState, pt_slots, kf_slots) -> MapState:
 # ---------------------------------------------------------------------------
 
 
+def reassign_point_refs(m: MapState) -> MapState:
+    """Re-anchor points whose reference keyframe died.
+
+    The reference re-parents in OrbKeyFrame::SetBadFlag (reference:
+    src/orbkeyframe.cpp:493-600) and OrbMapPoint::EraseObservation promotes
+    the first remaining observer to mpRefKF.  Array form: one scatter over
+    the [K, F] binding table finds each point's oldest surviving observer;
+    points with a dead/dangling ``pt_ref_kf`` adopt it.  Without this, a
+    recycled slot would silently apply the WRONG keyframe's correction to
+    its orphaned points in correct_loop / GBA merge.
+
+    Points left with NO observer at all are retired (the reference's
+    SetBadFlag on observation loss, src/orbmappoint.cpp:222-239).
+    """
+    K, F, P = m.kf_capacity, m.feat_capacity, m.pt_capacity
+    bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
+    tgt = jnp.where(bound, m.kf_obs_point, P - 1)
+    big = jnp.iinfo(jnp.int32).max
+    # oldest observer by keyframe id; encode (id, slot) to recover the slot
+    enc = jnp.where(
+        bound, m.kf_id[:, None] * K + jnp.arange(K, dtype=jnp.int32)[:, None],
+        big,
+    )
+    best = jnp.full((P,), big, jnp.int32).at[tgt].min(enc)
+    has_obs = best < big
+    rep = jnp.where(has_obs, best % K, -1)
+
+    safe_ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
+    ref_dead = (m.pt_ref_kf < 0) | (~m.kf_valid[safe_ref])
+    new_ref = jnp.where(ref_dead, rep, m.pt_ref_kf)
+    orphan = m.pt_valid & ~has_obs
+    return m._replace(
+        pt_ref_kf=new_ref,
+        pt_valid=m.pt_valid & ~orphan,
+    )
+
+
 @jax.jit
 def evict_oldest_if_full(m: MapState) -> MapState:
     """Slot-recycling backstop for the fixed keyframe capacity (no reference
@@ -567,6 +665,7 @@ def evict_oldest_if_full(m: MapState) -> MapState:
         kf_valid=kf_valid,
         kf_obs_point=m.kf_obs_point.at[victim].set(cleared),
     )
+    m = reassign_point_refs(m)
     return m._replace(covis=recompute_covisibility(m))
 
 
@@ -638,6 +737,7 @@ def cull_keyframes(m: MapState, protect_slot,
                   m.kf_obs_point[victim])
     )
     m = m._replace(kf_valid=kf_valid, kf_obs_point=kf_obs)
+    m = reassign_point_refs(m)
     if update_covis:
         m = m._replace(covis=recompute_covisibility(m))
     return m

@@ -38,6 +38,10 @@ class MonocularSlam(StereoSlam):
     def __init__(self, config: SystemConfig, vocab=None,
                  enable_loop_closing: bool = True,
                  enable_relocalization: bool = True):
+        if config.camera_type != "mono":
+            # the shared stages key their sensor knobs off camera_type
+            import dataclasses
+            config = dataclasses.replace(config, camera_type="mono")
         super().__init__(config, vocab, enable_loop_closing,
                          enable_relocalization)
         self._init_ref: FrameState | None = None
@@ -47,6 +51,11 @@ class MonocularSlam(StereoSlam):
         self.min_triangulated = 50  # reference minTriangulated
                                     # (src/orbinitializer.cpp:468-571);
                                     # scale down with reduced feature budgets
+
+    def reset(self):
+        super().reset()
+        self._init_ref = None
+        self.initialized = False
 
     # ------------------------------------------------------------------
 
@@ -120,8 +129,8 @@ class MonocularSlam(StereoSlam):
         self.map, slot1 = insert_keyframe(
             self.map, cur2, cur_binds, jnp.asarray(1e9)
         )
-        self._register_keyframe(int(slot0))
-        self._register_keyframe(int(slot1))
+        self._register_keyframe(int(slot0), 0)
+        self._register_keyframe(int(slot1), 1)
         # full BA over the fresh two-keyframe map (CreateInitialMapMonocular
         # runs GlobalBundleAdjustemnt(20), reference: src/tracking.cpp:519)
         from .global_ba import run_global_ba
@@ -131,6 +140,7 @@ class MonocularSlam(StereoSlam):
         cur2 = cur2._replace(T_cw=T21)
         self.n_keyframes = 2
         self.initialized = True
+        self.last_kf_slot = int(slot1)
         self.T_cw = T21
         self.velocity = jnp.eye(4, dtype=jnp.float32)
         self.last_frame = cur2
@@ -142,36 +152,18 @@ class MonocularSlam(StereoSlam):
 
     # ------------------------------------------------------------------
 
-    def _insert_keyframe(self, frame: FrameState, bindings):
-        """Mono keyframes add no stereo points; new geometry comes from
-        triangulation against covisible keyframes."""
-        self.map, slot = insert_keyframe(
-            self.map, frame, bindings, jnp.asarray(-1.0)  # no depth creation
-        )
-        self.map = cull_points(self.map, self.map.next_kf_id - 1, th_obs=2)
-        self.map = create_new_map_points(
-            self.map, int(slot), self.config, n_neighbors=20
-        )
-        from .fusion import run_fusion
-        from .local_mapping import local_mapping_step
-        from .map_state import cull_keyframes
-
-        if self.n_keyframes >= 1:
-            self.map = run_fusion(self.map, slot, self.config)
-        if self.n_keyframes >= 2:
-            self.map = local_mapping_step(self.map, slot, self.config)
-        if self.n_keyframes >= 4:
-            self.map = cull_keyframes(self.map, slot)
-        self.n_keyframes += 1
-        self.frames_since_kf = 0
-        self._register_keyframe(int(slot))
-        return self.map.kf_obs_point[slot]
-
-    # ------------------------------------------------------------------
-
     def process(self, img, timestamp: float = 0.0):
         """Single grayscale image in (GrabImageMonocular, reference:
-        src/tracking.cpp:233-260)."""
+        src/tracking.cpp:233-260).
+
+        Past initialization, the whole per-frame pipeline is the shared
+        StereoSlam._step — one code path for both sensors, like the
+        reference's sensor-agnostic Track/Mapping core (src/mapping.cpp is
+        shared verbatim across sensors).  The sensor knobs (no stereo point
+        creation, 20 triangulation neighbours, cnThObs 2, thRefRatio 0.9,
+        inert close-point rule) key off config.camera_type inside the
+        stages.
+        """
         img = jnp.asarray(img, jnp.float32)
 
         if not self.initialized:
@@ -190,40 +182,4 @@ class MonocularSlam(StereoSlam):
             return self._try_initialize(cur)
 
         cur = process_mono(img, self.config, timestamp)
-
-        from .slam import track_frame_with_map, apply_point_counters, MIN_INLIERS_MAP
-
-        out = track_frame_with_map(
-            self.map, self.last_frame, self.last_bindings,
-            self.T_cw, self.velocity, cur, self.config,
-        )
-        self.map = apply_point_counters(
-            self.map, out.pt_visible_delta, out.pt_found_delta
-        )
-        T_new = out.T_cw
-        n_inl = int(out.n_inliers)
-        self.lost = n_inl < MIN_INLIERS_MAP
-        if self.lost and self._try_relocalize(cur):
-            T_new = self.T_cw
-            out = out._replace(bindings=self.last_bindings)
-        self.velocity = T_new @ lie.inv_T(self.T_cw)
-        self.T_cw = T_new
-        cur = cur._replace(T_cw=T_new)
-        bindings = out.bindings
-        self.frames_since_kf += 1
-
-        tracked = int(jnp.sum(bindings >= 0))
-        need_kf = (
-            (self.frames_since_kf >= self.config.tracking.max_frames)
-            or (tracked < 0.9 * max(self.ref_kf_tracked, 1)
-                and self.frames_since_kf >= 1)
-        ) and not self.lost
-        if need_kf:
-            bindings = self._insert_keyframe(cur, bindings)
-            self.ref_kf_tracked = max(tracked, 1)
-
-        self.last_frame = cur
-        self.last_bindings = bindings
-        self.trajectory.append(T_new)
-        self._service_gba()
-        return T_new
+        return self._step(cur)

@@ -296,44 +296,81 @@ def apply_point_counters(m: MapState, vis_delta, found_delta) -> MapState:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def insert_stage(m: MapState, frame, bindings, config: SystemConfig):
+    """The TRACKING-thread half of keyframe creation as one cheap device
+    program: insert the keyframe + spawn close stereo points + refresh its
+    covisibility row (CreateNewKeyFrame runs on the tracking thread in the
+    reference too, src/tracking.cpp:898-976).
+
+    Returns ``(m, slot, new_bindings, occ)`` where ``occ`` packs
+    [n_kf_valid, n_pt_valid] for ONE host fetch (capacity-bucket decisions).
+    """
+    # monocular keyframes create no depth points (new geometry arrives only
+    # through covisible triangulation, reference: src/tracking.cpp:906-911)
+    th_far = (
+        -1.0 if config.camera_type == "mono"
+        else config.tracking.th_depth * config.camera.baseline_m
+    )
+    m, slot = insert_keyframe(m, frame, bindings, th_far, covis_mode="row")
+    occ = jnp.stack([
+        jnp.sum(m.kf_valid).astype(jnp.int32),
+        jnp.sum(m.pt_valid).astype(jnp.int32),
+    ])
+    return m, slot, m.kf_obs_point[slot], occ
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "do_triangulate", "do_fuse", "do_lba",
                      "do_cull"),
 )
-def keyframe_stage(m: MapState, frame, bindings, config: SystemConfig,
-                   do_triangulate: bool, do_fuse: bool, do_lba: bool,
-                   do_cull: bool):
-    """The ENTIRE mapping-thread work for one keyframe as ONE device
-    program: evict -> insert -> point-cull -> triangulate -> fuse -> local
-    BA -> keyframe-cull -> covisibility rebuild.
+def mapping_stage(m: MapState, slot, config: SystemConfig,
+                  do_triangulate: bool, do_fuse: bool, do_lba: bool,
+                  do_cull: bool):
+    """The MAPPING-thread work for one inserted keyframe as ONE device
+    program: point-cull -> triangulate -> fuse -> local BA -> keyframe-cull
+    -> covisibility rebuild.
 
     This is the reference Mapping::Run loop body (src/mapping.cpp:48-116)
     fused for the device: a single dispatch (no per-pass host round-trips,
     which cost a full tunnel RTT each on remote TPU), ONE observation-count
-    recount threaded incrementally through every pass (each pass used to
-    recount: a [K*F]-slot scatter, ~35 ms at KITTI capacities), and ONE
-    covisibility rebuild at the end (insert refreshes just its own row).
+    recount threaded incrementally through every pass, and ONE covisibility
+    rebuild at the end.  The host dispatches it ASYNCHRONOUSLY and keeps
+    tracking against the post-insert snapshot until the result is ready —
+    the staged-pipeline form of the reference's background mapping thread
+    (P1, reference: src/selflocalization.cpp:361-367).
 
-    Returns ``(m, slot)``; the do_* flags mirror the n_keyframes>=N
-    bootstrap ramp and are static (4 early-map variants, then steady state).
+    Returns ``(m, aux)`` with aux packing
+    [n_ref_matches(>=3-obs tracked points of the new KF), n_kf_valid,
+    n_pt_valid] so adoption costs ONE host fetch; the do_* flags mirror the
+    n_keyframes>=N bootstrap ramp and are static.
+
+    Covisibility staleness (documented approximation): all passes run with
+    ``update_covis=False`` — fusion neighbour selection and the local-BA
+    window are chosen from weights that ignore same-stage point culls,
+    triangulated links and fusion merges (the reference refreshes
+    connections in ProcessNewKeyFrame and after SearchInNeighbors).  The
+    full rebuild at stage end bounds the staleness to one keyframe.
     """
     from .map_state import (
-        evict_oldest_if_full,
         point_observation_counts,
         recompute_covisibility,
     )
     from .triangulation import create_new_map_points
 
-    th_far = config.tracking.th_depth * config.camera.baseline_m
-    m = evict_oldest_if_full(m)
-    m, slot = insert_keyframe(m, frame, bindings, th_far, covis_mode="row")
+    # sensor-dependent knobs (reference: src/mapping.cpp:286 — 20 triangulation
+    # neighbours mono vs 10 stereo; src/mapping.cpp:536 — cnThObs 2 mono, 3
+    # stereo)
+    mono = config.camera_type == "mono"
     counts = point_observation_counts(m)
-    m, counts = cull_points(m, m.next_kf_id - 1, counts=counts)
+    m, counts = cull_points(
+        m, m.next_kf_id - 1, th_obs=2 if mono else 3, counts=counts
+    )
     if do_triangulate:
         m, counts = create_new_map_points(
-            m, slot, config, n_neighbors=10, update_covis=False,
-            counts=counts,
+            m, slot, config, n_neighbors=20 if mono else 10,
+            update_covis=False, counts=counts,
         )
     if do_fuse:
         m, counts = run_fusion(m, slot, config, update_covis=False,
@@ -344,7 +381,52 @@ def keyframe_stage(m: MapState, frame, bindings, config: SystemConfig,
     if do_cull:
         m = cull_keyframes(m, slot, update_covis=False, counts=counts)
     m = m._replace(covis=recompute_covisibility(m))
+
+    # nRefMatches for the keyframe decision (TrackedMapPoints(minObs), with
+    # minObs 3 — 2 while the map has <=2 keyframes — reference:
+    # src/tracking.cpp:825-829 + src/orbkeyframe.cpp:281-305)
+    counts_now = point_observation_counts(m)
+    binds = m.kf_obs_point[slot]
+    bound = m.kf_feat_valid[slot] & (binds >= 0)
+    safe = jnp.clip(binds, 0, m.pt_capacity - 1)
+    min_obs = jnp.where(m.next_kf_id > 2, 3, 2)
+    n_ref = jnp.sum(bound & m.pt_valid[safe] & (counts_now[safe] >= min_obs))
+    aux = jnp.stack([
+        n_ref.astype(jnp.int32),
+        jnp.sum(m.kf_valid).astype(jnp.int32),
+        jnp.sum(m.pt_valid).astype(jnp.int32),
+    ])
+    return m, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "do_triangulate", "do_fuse", "do_lba",
+                     "do_cull"),
+)
+def keyframe_stage(m: MapState, frame, bindings, config: SystemConfig,
+                   do_triangulate: bool, do_fuse: bool, do_lba: bool,
+                   do_cull: bool):
+    """insert_stage + mapping_stage fused into one synchronous program (the
+    round-3 monolith, kept for the synchronous callers: monocular bootstrap
+    and tests).  Returns ``(m, slot)``."""
+    from .map_state import evict_oldest_if_full
+
+    m = evict_oldest_if_full(m)
+    m, slot, _, _ = insert_stage(m, frame, bindings, config)
+    m, _ = mapping_stage(m, slot, config, do_triangulate, do_fuse, do_lba,
+                         do_cull)
     return m, slot
+
+
+@jax.jit
+def rebase_pose(T_cur, T_kf_pre, T_kf_post):
+    """Re-express the tracker pose after an async mapping stage moved its
+    keyframe: keep the tracked relative pose cur<-KF, compose with the
+    post-BA keyframe pose (the functional-map form of the reference tracker
+    reading KF poses back through covisibility refs,
+    src/tracking.cpp:546-585)."""
+    return (T_cur @ lie.inv_T(T_kf_pre)) @ T_kf_post
 
 
 class StereoSlam:
@@ -358,7 +440,9 @@ class StereoSlam:
                  enable_relocalization: bool = True):
         self.config = config
         self.map = empty_map(
-            config.max_keyframes, config.max_map_points, config.orb.max_keypoints
+            min(config.initial_keyframes, config.max_keyframes),
+            min(config.initial_map_points, config.max_map_points),
+            config.orb.max_keypoints,
         )
         self.T_cw = jnp.eye(4, dtype=jnp.float32)
         self.velocity = jnp.eye(4, dtype=jnp.float32)
@@ -369,6 +453,17 @@ class StereoSlam:
         self.trajectory: list = []
         self.lost = False
         self.n_keyframes = 0
+        self.frame_idx = 0
+        self.last_reloc_frame = -(10 ** 9)
+        # occupancy snapshot [n_kf_valid, n_pt_valid] from the last stage
+        # fetch (drives capacity-bucket growth + eviction headroom)
+        self._occ = (0, 0)
+        # in-flight async mapping stage:
+        # dict(map, aux, slot(host int-able dev scalar), kf_id, T_kf_pre)
+        self._kf_pending = None
+        # tracked-counter deltas accumulated while a stage is in flight
+        self._pending_vis = None
+        self._pending_found = None
         # place recognition state (vocabulary may arrive lazily: the
         # reference loads ORBvoc.txt which does not ship; we train from the
         # first keyframe's descriptors when none is given)
@@ -378,10 +473,17 @@ class StereoSlam:
         self.db = None
         self.kf_nodes = None
         self.loop_closer = None
-        self.pending_gba = None
         self.loops_closed = 0
         self.pending_gba = None   # in-flight incremental post-loop GBA
         self._reloc_key = jax.random.PRNGKey(11)
+
+    # one-time vocabulary retrain once this many keyframes of descriptors
+    # accumulated — the first-frame bootstrap vocabulary (a few hundred
+    # words) has near-zero discriminativeness at map scale, which silently
+    # disabled relocalization (reference loads a ~1M-word offline ORBvoc,
+    # src/orbvocabulary.cpp:39-118; none ships here, so we train online and
+    # refresh once real data exists)
+    VOCAB_REFRESH_AT = 8
 
     def _ensure_vocab(self, frame: FrameState):
         if self.vocab is not None or not (
@@ -393,10 +495,53 @@ class StereoSlam:
         descs = np.asarray(frame.features.desc)[np.asarray(frame.features.valid)]
         if len(descs) < 64:
             return
-        self.vocab = voc.train_vocabulary(descs, branching=8, levels=3, seed=0)
+        self.vocab = voc.train_vocabulary(descs, branching=10, levels=4,
+                                          seed=0)
+        self._vocab_refreshed = False
 
-    def _register_keyframe(self, slot: int):
-        """BoW row + node table + loop detection for a new keyframe."""
+    def _maybe_refresh_vocab(self):
+        """Retrain the vocabulary on the pooled keyframe descriptors and
+        rebuild the database + node tables for every live keyframe."""
+        if (getattr(self, "_vocab_refreshed", True)
+                or self.n_keyframes < self.VOCAB_REFRESH_AT
+                or self.db is None):
+            return
+        from . import vocabulary as voc
+        from .kfdb import empty_kfdb
+
+        m = self.map
+        kf_valid = np.asarray(m.kf_valid)
+        descs = np.asarray(m.kf_desc)[kf_valid]
+        feat_ok = np.asarray(m.kf_feat_valid)[kf_valid]
+        pool = descs[feat_ok]
+        if len(pool) < 1000:
+            return
+        self.vocab = voc.train_vocabulary(pool, branching=10, levels=4,
+                                          seed=1)
+        self._vocab_refreshed = True
+        self.db = empty_kfdb(m.kf_capacity, self.vocab.n_words)
+        self.kf_nodes = -jnp.ones(
+            (m.kf_capacity, self.config.orb.max_keypoints), jnp.int32
+        )
+        for slot in np.nonzero(kf_valid)[0]:
+            words, nodes = voc.transform(
+                self.vocab, m.kf_desc[slot], m.kf_feat_valid[slot]
+            )
+            from .kfdb import add_keyframe
+
+            self.db = add_keyframe(
+                self.db, int(slot), voc.bow_vector(self.vocab, words)
+            )
+            self.kf_nodes = self.kf_nodes.at[int(slot)].set(nodes)
+
+    def _register_keyframe(self, slot: int, kf_id: int):
+        """BoW row + node table + loop detection for a new keyframe.
+
+        Runs at ADOPTION time (after the async mapping stage lands) — the
+        same pipeline position as the reference, whose LoopClosing thread
+        consumes keyframes only after Mapping processed them and adds them
+        to the keyframe database there (reference: src/mapping.cpp:90,
+        src/loopclosing.cpp:216 mpKeyFrameDB->add)."""
         if self.vocab is None:
             return
         from . import vocabulary as voc
@@ -404,14 +549,15 @@ class StereoSlam:
         from .loop_closing import LoopCloser
 
         if self.db is None:
-            self.db = empty_kfdb(self.config.max_keyframes, self.vocab.n_words)
+            self.db = empty_kfdb(self.map.kf_capacity, self.vocab.n_words)
             self.kf_nodes = -jnp.ones(
-                (self.config.max_keyframes, self.config.orb.max_keypoints),
+                (self.map.kf_capacity, self.config.orb.max_keypoints),
                 jnp.int32,
             )
             self.loop_closer = LoopCloser(self.config)
             self.loop_closer.defer_gba = True
 
+        self._maybe_refresh_vocab()
         words, nodes = voc.transform(
             self.vocab, self.map.kf_desc[slot], self.map.kf_feat_valid[slot]
         )
@@ -421,12 +567,18 @@ class StereoSlam:
         self.db = self.db._replace(has_row=self.db.has_row & self.map.kf_valid)
 
         if self.enable_loop_closing and self.loop_closer is not None:
+            T_kf_pre = self.map.kf_T_cw[slot]
             self.map, closed, T_corr = self.loop_closer.on_keyframe(
-                self.map, self.db, self.kf_nodes, slot
+                self.map, self.db, self.kf_nodes, slot, kf_id=kf_id
             )
             if closed:
                 self.loops_closed += 1
-                self.T_cw = self.map.kf_T_cw[slot]
+                # ride the correction: keep the tracked cur<-KF relative pose
+                self.T_cw = rebase_pose(
+                    self.T_cw, T_kf_pre, self.map.kf_T_cw[slot]
+                )
+                if self.last_frame is not None:
+                    self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
                 self.velocity = jnp.eye(4, dtype=jnp.float32)
                 # schedule the full-map refinement incrementally; a newer
                 # closure aborts (drops) any in-flight solve (reference:
@@ -522,24 +674,114 @@ class StereoSlam:
     def _th_far(self):
         return self.config.tracking.th_depth * self.config.camera.baseline_m
 
-    def _insert_keyframe(self, frame: FrameState, bindings):
-        # the whole mapping-thread work as one device program (see
-        # keyframe_stage); triangulation covers the stereo far-point
-        # densification too (CreateNewMapPoints, reference:
-        # src/mapping.cpp:280-525, 10 neighbours stereo vs 20 mono at :286)
-        self.map, slot = keyframe_stage(
-            self.map, frame, bindings, self.config,
-            do_triangulate=self.n_keyframes >= 1,
-            do_fuse=self.n_keyframes >= 1,
-            do_lba=self.n_keyframes >= 2,
-            do_cull=self.n_keyframes >= 4,
+    @property
+    def mapping_busy(self) -> bool:
+        """True while an async mapping stage is in flight — the staged
+        analogue of Mapping::AcceptKeyFrames()==false (reference:
+        src/mapping.cpp:56, src/tracking.cpp:831)."""
+        return self._kf_pending is not None
+
+    def _dispatch_keyframe(self, frame: FrameState, bindings):
+        """Tracking-thread half (sync dispatch, no host round-trip): insert
+        the keyframe + close points, then launch the heavy mapping stage
+        asynchronously.  Returns the post-insert bindings (includes the
+        newly created points, like CreateNewKeyFrame's frame bindings,
+        reference: src/tracking.cpp:930-969)."""
+        self.map, slot, new_bindings, occ = insert_stage(
+            self.map, frame, bindings, self.config
         )
+        kf_id = self.n_keyframes
         self.n_keyframes += 1
         self.frames_since_kf = 0
-        self.last_kf_slot = int(slot)
-        self._register_keyframe(int(slot))
-        # re-read bindings after culling/BA (points may have died)
-        return self.map.kf_obs_point[slot]
+        m_new, aux = mapping_stage(
+            self.map, slot, self.config,
+            do_triangulate=kf_id >= 1,
+            do_fuse=kf_id >= 1,
+            do_lba=kf_id >= 2,
+            do_cull=kf_id >= 4,
+        )
+        self._kf_pending = {
+            "map": m_new, "aux": aux, "slot": slot, "kf_id": kf_id,
+            "T_kf_pre": self.map.kf_T_cw[slot],
+        }
+        P = self.map.pt_capacity
+        self._pending_vis = jnp.zeros((P,), jnp.int32)
+        self._pending_found = jnp.zeros((P,), jnp.int32)
+        return new_bindings
+
+    def _try_adopt_mapping(self, force: bool = False):
+        """Adopt the async mapping-stage result once the device finished it
+        (checked without blocking).  ``force`` blocks — used at shutdown and
+        by the monocular bootstrap."""
+        if self._kf_pending is None:
+            return
+        pend = self._kf_pending
+        probe = pend["map"].kf_T_cw
+        if not force and not probe.is_ready():
+            return
+        self._kf_pending = None
+        m = pend["map"]
+        # re-apply tracking's visible/found deltas accumulated in flight
+        # (deltas on points the stage culled/merged land on invalid slots)
+        m = apply_point_counters(m, self._pending_vis, self._pending_found)
+        self._pending_vis = self._pending_found = None
+        # rebase the tracker onto the post-BA keyframe pose
+        T_kf_post = m.kf_T_cw[pend["slot"]]
+        self.T_cw = rebase_pose(self.T_cw, pend["T_kf_pre"], T_kf_post)
+        if self.last_frame is not None:
+            self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
+        self.map = m
+        # ONE fetch: [n_ref_matches, n_kf_valid, n_pt_valid] + slot
+        stats = np.asarray(
+            jnp.concatenate([pend["aux"], pend["slot"][None]])
+        )
+        self.ref_kf_tracked = max(int(stats[0]), 1)
+        self._occ = (int(stats[1]), int(stats[2]))
+        slot = int(stats[3])
+        self.last_kf_slot = slot
+        self._maybe_resize()
+        self._register_keyframe(slot, pend["kf_id"])
+
+    def _maybe_resize(self):
+        """Capacity-bucket growth / eviction headroom, decided from the
+        occupancy snapshot (no extra device reads)."""
+        cfg = self.config
+        n_kf, n_pt = self._occ
+        K, P = self.map.kf_capacity, self.map.pt_capacity
+        grow_k = K if n_kf < K - 4 else min(K * 4, cfg.max_keyframes)
+        grow_p = (
+            P if n_pt < P - 2 * self.config.orb.max_keypoints
+            else min(P * 4, cfg.max_map_points)
+        )
+        if (grow_k, grow_p) != (K, P):
+            from .map_state import grow_map
+
+            self.map = grow_map(self.map, grow_k, grow_p)
+            if self.db is not None:
+                dK = grow_k - K
+                self.db = self.db._replace(
+                    bow=jnp.pad(self.db.bow, ((0, dK), (0, 0))),
+                    has_row=jnp.pad(self.db.has_row, (0, dK)),
+                )
+                self.kf_nodes = jnp.pad(
+                    self.kf_nodes, ((0, dK), (0, 0)), constant_values=-1
+                )
+            # an in-flight GBA snapshot has the old shapes: drop it (the
+            # reference aborts GBA on map topology changes too)
+            self.pending_gba = None
+        elif n_kf >= K - 2 and K >= cfg.max_keyframes:
+            # at the top bucket: make room the recycling way
+            from .map_state import evict_oldest_if_full
+
+            self.map = evict_oldest_if_full(self.map)
+
+    def _insert_keyframe(self, frame: FrameState, bindings):
+        """Synchronous insert + mapping + registration (bootstrap path and
+        API compatibility for tests/tools; steady-state frames use
+        _dispatch_keyframe + _try_adopt_mapping)."""
+        bindings = self._dispatch_keyframe(frame, bindings)
+        self._try_adopt_mapping(force=True)
+        return self.map.kf_obs_point[self.last_kf_slot]
 
     def reset(self):
         """Full system reset (Selflocalization::Reset -> Tracking::Reset,
@@ -547,7 +789,9 @@ class StereoSlam:
         clear map, database and tracker state; the trajectory log survives."""
         cfg = self.config
         self.map = empty_map(
-            cfg.max_keyframes, cfg.max_map_points, cfg.orb.max_keypoints
+            min(cfg.initial_keyframes, cfg.max_keyframes),
+            min(cfg.initial_map_points, cfg.max_map_points),
+            cfg.orb.max_keypoints,
         )
         self.T_cw = jnp.eye(4, dtype=jnp.float32)
         self.velocity = jnp.eye(4, dtype=jnp.float32)
@@ -557,6 +801,10 @@ class StereoSlam:
         self.ref_kf_tracked = 0
         self.lost = False
         self.n_keyframes = 0
+        self.last_reloc_frame = -(10 ** 9)
+        self._occ = (0, 0)
+        self._kf_pending = None
+        self._pending_vis = self._pending_found = None
         self.db = None
         self.kf_nodes = None
         self.loop_closer = None
@@ -585,11 +833,54 @@ class StereoSlam:
         )
         return self._step(cur)
 
+    def _need_new_keyframe(self, tracked, n_tracked_close,
+                           n_untracked_close) -> bool:
+        """Faithful NeedNewKeyFrame (reference: src/tracking.cpp:812-896).
+
+        c1a: max_frames elapsed since the last keyframe.
+        c1b: min_frames elapsed AND mapping idle.
+        c1c: weak tracking (<0.25 of the reference keyframe's mature
+             matches) or close-point starvation (stereo).
+        c2:  real degradation vs the reference KF (<thRefRatio, 0.4 for a
+             2-KF map else 0.75 stereo) or close starvation — AND >15
+             matches so a dying tracker never spawns keyframes.
+        Busy discipline: when the mapping stage is in flight the insertion
+        is skipped (the reference interrupts BA and only queues when fewer
+        than 3 keyframes wait, :884-893; our queue capacity is 1 in-flight
+        stage, so busy == queue full — documented divergence).
+        Post-relocalization window: no insertions within max_frames of a
+        reloc while the map has more keyframes than that (reference: :820).
+        """
+        cfg = self.config
+        if self.lost:
+            return False
+        if (self.frame_idx < self.last_reloc_frame + cfg.tracking.max_frames
+                and self.n_keyframes > cfg.tracking.max_frames):
+            return False
+        busy = self.mapping_busy
+        n_ref = max(self.ref_kf_tracked, 1)
+        # thRefRatio: 0.9 mono, 0.75 stereo, 0.4 with a 2-keyframe map
+        # (reference: src/tracking.cpp:848-856)
+        if cfg.camera_type == "mono":
+            th_ref_ratio = 0.9
+        else:
+            th_ref_ratio = 0.75 if self.n_keyframes > 2 else 0.4
+        need_close = (n_tracked_close < 100) and (n_untracked_close > 70)
+        c1a = self.frames_since_kf >= cfg.tracking.max_frames
+        c1b = self.frames_since_kf >= cfg.tracking.min_frames and not busy
+        c1c = need_close or tracked < 0.25 * n_ref
+        c2 = (tracked < th_ref_ratio * n_ref or need_close) and tracked > 15
+        return (c1a or c1b or c1c) and c2 and not busy
+
     def _step(self, cur: FrameState):
         cfg = self.config
+        self.frame_idx += 1
+        # adopt a finished async mapping stage before tracking (non-blocking)
+        self._try_adopt_mapping()
         # auto-reset if lost right after bootstrap (reference:
         # src/tracking.cpp:305-313: lost with <=5 keyframes => full reset)
         if self.lost and self.last_frame is not None and self.n_keyframes <= 5:
+            self._try_adopt_mapping(force=True)
             self.reset()
 
         if self.last_frame is None:
@@ -603,7 +894,6 @@ class StereoSlam:
             )
             self.last_frame = cur
             self.last_bindings = bindings
-            self.ref_kf_tracked = int(jnp.sum(bindings >= 0))
             self.trajectory.append(jnp.eye(4))
             return self.T_cw
 
@@ -611,6 +901,11 @@ class StereoSlam:
             self.map, self.last_frame, self.last_bindings,
             self.T_cw, self.velocity, cur, cfg,
         )
+        if self.mapping_busy:
+            # the in-flight stage's output would overwrite these counters;
+            # accumulate and re-apply at adoption
+            self._pending_vis = self._pending_vis + out.pt_visible_delta
+            self._pending_found = self._pending_found + out.pt_found_delta
         self.map = apply_point_counters(
             self.map, out.pt_visible_delta, out.pt_found_delta
         )
@@ -627,14 +922,26 @@ class StereoSlam:
         n_inl, tracked = int(stats[0]), int(stats[1])
         n_tracked_close, n_untracked_close = int(stats[2]), int(stats[3])
         self.last_stats = stats  # observability: [n_inl, tracked, close+, close-]
-        self.lost = n_inl < MIN_INLIERS_MAP
+        # strict acceptance within the post-reloc window (reference:
+        # src/tracking.cpp:800-806: >=50 inliers for 1 s after reloc)
+        min_inliers = (
+            50 if self.frame_idx < self.last_reloc_frame
+            + cfg.tracking.max_frames else MIN_INLIERS_MAP
+        )
+        self.lost = n_inl < min_inliers
         if self.lost:
+            # recovery needs the settled map (and may rebuild trust in it)
+            self._try_adopt_mapping(force=True)
             # fallback ladder (UpdatePoses dispatch, reference:
             # src/tracking.cpp:1538-1640): reference-KF BoW tracking, then
             # full relocalization
-            if self._track_reference_keyframe(cur) or self._try_relocalize(cur):
+            if self._track_reference_keyframe(cur):
                 T_new = self.T_cw
                 out = out._replace(bindings=self.last_bindings)
+            elif self._try_relocalize(cur):
+                T_new = self.T_cw
+                out = out._replace(bindings=self.last_bindings)
+                self.last_reloc_frame = self.frame_idx
             else:
                 # recovery failed: the failed estimate must NOT be integrated
                 # — the reference keeps the last good pose while LOST
@@ -653,29 +960,13 @@ class StereoSlam:
         bindings = out.bindings
         self.frames_since_kf += 1
 
-        # keyframe decision (NeedNewKeyFrame, reference:
-        # src/tracking.cpp:812-896, simplified c1a/c1c/c2)
-        need_kf = (
-            (self.frames_since_kf >= cfg.tracking.max_frames)
-            or (tracked < 0.25 * max(self.ref_kf_tracked, 1))
-            or (
-                n_tracked_close < 100
-                and n_untracked_close > 70
-            )
-        ) and not self.lost
-        if need_kf:
-            bindings = self._insert_keyframe(cur, bindings)
+        if self._need_new_keyframe(tracked, n_tracked_close,
+                                   n_untracked_close):
+            bindings = self._dispatch_keyframe(cur, bindings)
+            # until the stage lands, the decision ratio runs against the
+            # live tracked count (refreshed with mature-obs counts at
+            # adoption)
             self.ref_kf_tracked = max(tracked, 1)
-            # re-sync the tracker to the keyframe's POST-local-BA pose: BA
-            # just moved the window (this frame included) into its own
-            # refined gauge, and tracking from the stale pre-BA pose lets
-            # map and tracker drift apart a little on every insertion until
-            # tight-radius projection matching collapses (the reference's
-            # tracker reads KF poses back from the map through the
-            # covisibility refs, src/tracking.cpp:546-585 UpdateLastFrame)
-            T_new = self.map.kf_T_cw[self.last_kf_slot]
-            self.T_cw = T_new
-            cur = cur._replace(T_cw=T_new)
 
         self.last_frame = cur
         self.last_bindings = bindings

@@ -83,3 +83,35 @@ def make_sharded_gba(mesh: Mesh, axis: str, *, fx, fy, cx, cy, bf,
         )
 
     return jax.jit(_run)
+
+
+def make_sharded_gba_chunk(mesh: Mesh, axis: str, *, fx, fy, cx, cy, bf,
+                           n_outer: int = 1, cg_iters: int = 40,
+                           fix_first_pose: bool = True):
+    """Chunked variant for the production IncrementalGBA: runs ``n_outer``
+    LM iterations from an explicit ``(T, pts, lam, cost)`` carry with edges
+    sharded over ``axis`` — the between-frames slice of the post-loop global
+    BA (the g2o solve role, reference: src/orboptimizer.cpp:463-798) on a
+    multi-chip mesh.  Carry replicates; each reduction is one psum."""
+    in_specs = BAProblem(
+        T_opt=P(), opt_valid=P(), T_fix=P(), fix_valid=P(),
+        pts=P(), pt_valid=P(),
+        e_kf=P(axis), e_pt=P(axis), e_uv=P(axis), e_ur=P(axis),
+        e_sigma2=P(axis), e_valid=P(axis),
+    )
+    carry_specs = (P(), P(), P(), P())
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(in_specs, carry_specs),
+        out_specs=carry_specs, check_vma=False,
+    )
+    def _chunk(prob_shard: BAProblem, carry):
+        return gba_core(
+            prob_shard, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf,
+            n_outer=n_outer, cg_iters=cg_iters,
+            fix_first_pose=fix_first_pose,
+            reduce_fn=lambda x: jax.lax.psum(x, axis),
+            init_carry=carry, return_carry=True,
+        )
+
+    return jax.jit(_chunk)

@@ -120,6 +120,13 @@ class SystemConfig:
     # unboundedly on the heap; here slots are fixed and recycled).
     max_keyframes: int = 512
     max_map_points: int = 65536
+    # Capacity-bucket ladder: the map starts at the initial bucket and the
+    # host scheduler grows it (grow_map) as occupancy rises — every
+    # [P]-scatter / [K,P] incidence / [K,K] Gram in the per-frame programs
+    # scales with the live bucket, the TPU answer to the reference's
+    # grow-per-allocation heap map.  Growth multiplies by 4 until max_*.
+    initial_keyframes: int = 64
+    initial_map_points: int = 8192
 
 
 _CAMERA_KEYS = {

@@ -127,7 +127,11 @@ def test_incremental_gba_chunks_and_merge():
         binds = np.asarray(m.kf_obs_point[slot])
         slot_of_world[idx] = binds[: len(idx)]
 
-    gba = IncrementalGBA(m, CFG, n_outer_total=8, cg_iters=30)
+    # single-device pinned: the chunk-vs-oneshot equivalence below is
+    # bitwise-level and psum order in the auto-sharded path (8 virtual
+    # devices in tests) perturbs floats ~1e-3; the sharded production
+    # path has its own equivalence test in test_parallel.py
+    gba = IncrementalGBA(m, CFG, n_outer_total=8, cg_iters=30, sharded=False)
     # equivalence target: the one-shot solve on the same snapshot
     cam = CFG.camera
     from opendlv_perception_vision_orbslam2_tpu.models.global_ba import (

@@ -93,3 +93,69 @@ def test_sharded_gba_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(T_sh), np.asarray(T_ref), atol=5e-3
     )
+
+
+def test_sharded_incremental_gba_production_path():
+    """The PRODUCTION post-loop optimizer (models.global_ba.IncrementalGBA)
+    must take the edge-sharded path when >1 device is present and agree
+    with the single-device chunked solve on a REAL pipeline-built map
+    (VERDICT r3 task 2)."""
+    import dataclasses
+
+    from opendlv_perception_vision_orbslam2_tpu.models.global_ba import (
+        IncrementalGBA,
+        extract_global_ba,
+    )
+    from opendlv_perception_vision_orbslam2_tpu.models.slam import StereoSlam
+    from opendlv_perception_vision_orbslam2_tpu.optim.gba import (
+        gba_init_carry,
+        global_bundle_adjust_chunk,
+    )
+    from opendlv_perception_vision_orbslam2_tpu.utils import synthetic
+    from opendlv_perception_vision_orbslam2_tpu.utils.config import (
+        CameraConfig,
+        OrbConfig,
+        SystemConfig,
+    )
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=320.0, fy=320.0, cx=256.0, cy=128.0,
+                            bf=160.0, width=512, height=256, fps=10.0),
+        orb=OrbConfig(n_features=600, max_keypoints=1024, n_levels=4),
+        max_keyframes=32, max_map_points=4096,
+        initial_keyframes=32, initial_map_points=4096,
+    )
+    lefts, rights, _, _ = synthetic.render_stereo_sequence(
+        cfg, n_frames=6, n_points=500, seed=3, step=0.5
+    )
+    slam = StereoSlam(cfg, enable_loop_closing=False,
+                      enable_relocalization=False)
+    for i in range(6):
+        slam.process(lefts[i], rights[i], timestamp=i / 10.0)
+    slam._try_adopt_mapping(force=True)
+    m = slam.map
+    cam = cfg.camera
+
+    gba = IncrementalGBA(m, cfg, n_outer_total=3, cg_iters=8)
+    assert gba._sharded is not None  # 8 virtual devices -> sharded path
+    while not gba.step():
+        pass
+    T_sh, pts_sh = gba.carry[0], gba.carry[1]
+
+    prob1 = extract_global_ba(m, cfg.orb.scale_factor)
+    carry = gba_init_carry(prob1)
+    for _ in range(3):
+        carry = global_bundle_adjust_chunk(
+            prob1, carry, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            bf=cam.bf, n_outer=1, cg_iters=8,
+        )
+    valid = np.asarray(m.pt_valid)
+    np.testing.assert_allclose(
+        np.asarray(T_sh), np.asarray(carry[0]), atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(pts_sh)[valid], np.asarray(carry[1])[valid], atol=5e-1
+    )
+    # and the merge applies cleanly to the live map
+    m2 = gba.merge(m)
+    assert np.isfinite(np.asarray(m2.kf_T_cw)).all()
