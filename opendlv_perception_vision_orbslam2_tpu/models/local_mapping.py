@@ -211,29 +211,180 @@ def write_back_local_ba(m: MapState, ext: LocalBAExtract, T_opt, pts,
     return m._replace(kf_obs_point=obs)
 
 
+class GridExtract(NamedTuple):
+    prob: "object"                 # GridBAProblem
+    local_kf_slots: jnp.ndarray    # [KO] map keyframe slots (-1 pad)
+    local_pt_slots: jnp.ndarray    # [PL] map point slots (-1 pad)
+    window_kf_slots: jnp.ndarray   # [KO+KFIX] all window slots (-1 pad)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def extract_local_ba_grid(m: MapState, center_slot, ko: int = KO_DEFAULT,
+                          kfix: int = KFIX_DEFAULT, pl: int = PL_DEFAULT,
+                          scale_factor: float = 1.2) -> GridExtract:
+    """Dense-grid local BA extraction (see optim/ba_grid.py): the window's
+    [KW, F] binding tables ARE the edge set; the per-point observation
+    table makes every landmark reduction a gather.  No edge compression,
+    no per-iteration scatters."""
+    from ..optim.ba_grid import GridBAProblem
+
+    K, F, P = m.kf_capacity, m.feat_capacity, m.pt_capacity
+
+    # --- optimizable window: center + best covisible (oldest first for the
+    # gauge anchor, as in extract_local_ba) --------------------------------
+    w = m.covis[center_slot].at[center_slot].set(-1)
+    nb_w, nb_idx = jax.lax.top_k(w, ko - 1)
+    local_slots = jnp.concatenate([jnp.array([center_slot]), nb_idx])
+    local_ok = jnp.concatenate([jnp.array([True]), nb_w > 0])
+    local_ok = local_ok & jnp.take(m.kf_valid, local_slots)
+    ids = jnp.where(local_ok, jnp.take(m.kf_id, local_slots),
+                    jnp.iinfo(jnp.int32).max)
+    oldest_pos = jnp.argmin(ids)
+    perm = jnp.arange(local_slots.shape[0])
+    perm = perm.at[0].set(oldest_pos).at[oldest_pos].set(0)
+    local_slots = local_slots[perm]
+    local_ok = local_ok[perm]
+    is_local = jnp.zeros((K,), bool).at[
+        jnp.where(local_ok, local_slots, K - 1)
+    ].set(local_ok)
+
+    # --- local point set (rank-compressed to PL) --------------------------
+    binds = m.kf_obs_point[local_slots]
+    b_ok = m.kf_feat_valid[local_slots] & (binds >= 0) & local_ok[:, None]
+    pt_in = jnp.zeros((P,), bool).at[jnp.where(b_ok, binds, P - 1)].set(b_ok)
+    pt_in = pt_in.at[P - 1].set(False) & m.pt_valid
+    rank = jnp.cumsum(pt_in.astype(jnp.int32)) - 1
+    pt_g2l = jnp.where(pt_in & (rank < pl), rank, -1)
+    local_pt_slots = jnp.full((pl,), -1, jnp.int32).at[
+        jnp.where(pt_g2l >= 0, pt_g2l, pl - 1)
+    ].set(jnp.where(pt_g2l >= 0, jnp.arange(P, dtype=jnp.int32), -1))
+    pt_local_valid = local_pt_slots >= 0
+    pts_local = jnp.where(
+        pt_local_valid[:, None],
+        m.pt_pos[jnp.clip(local_pt_slots, 0, P - 1)], 0.0,
+    )
+
+    # --- fixed observers --------------------------------------------------
+    all_binds_local = jnp.where(
+        m.kf_feat_valid & (m.kf_obs_point >= 0),
+        jnp.take(pt_in, jnp.clip(m.kf_obs_point, 0, P - 1)), False,
+    )
+    see_count = jnp.sum(all_binds_local, axis=1)
+    see_count = jnp.where(m.kf_valid & (~is_local), see_count, 0)
+    fix_w, fix_slots = jax.lax.top_k(see_count, kfix)
+    fix_ok = fix_w > 0
+
+    # --- the grid ---------------------------------------------------------
+    all_slots = jnp.concatenate([local_slots, fix_slots])      # [KW]
+    all_ok = jnp.concatenate([local_ok, fix_ok])
+    g_binds = m.kf_obs_point[all_slots]                        # [KW, F]
+    g_bok = m.kf_feat_valid[all_slots] & (g_binds >= 0) & all_ok[:, None]
+    g_pt = jnp.where(
+        g_bok, jnp.take(pt_g2l, jnp.clip(g_binds, 0, P - 1)), -1
+    )
+    g_valid = g_bok & (g_pt >= 0)
+    sigma2 = jnp.power(
+        jnp.float32(scale_factor),
+        2.0 * m.kf_octave[all_slots].astype(jnp.float32),
+    )
+
+    # observation table: feature index of local point p in window KF w.
+    # One scatter per EXTRACT (not per LM iteration); scatter-min keeps the
+    # lowest feature index when fusion bound a point twice in one KF.
+    KW = all_slots.shape[0]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (KW, F), 0)
+    f_iota = jax.lax.broadcasted_iota(jnp.int32, (KW, F), 1)
+    tgt_p = jnp.where(g_valid, jnp.clip(g_pt, 0, pl - 1), pl)
+    obs_table = jnp.full((pl + 1, KW), F, jnp.int32).at[
+        tgt_p, w_iota
+    ].min(jnp.where(g_valid, f_iota, F))[:pl]
+    obs_table = jnp.where(obs_table >= F, -1, obs_table)
+    # dedup the GRID against the table: a point fused onto two features of
+    # one keyframe keeps only the table's observation, so pose blocks,
+    # landmark blocks and the Schur coupling all see the SAME edge set
+    # (one observation per KF per point, reference semantics) — an
+    # inconsistent system converges to a visibly different optimum
+    sel = jnp.take_along_axis(
+        obs_table[jnp.clip(g_pt, 0, pl - 1)],        # [KW, F, KW]
+        w_iota[..., None], axis=2,
+    )[..., 0]
+    g_valid = g_valid & (sel == f_iota)
+
+    prob = GridBAProblem(
+        T_all=m.kf_T_cw[all_slots],
+        kf_valid=all_ok,
+        pose_free=local_ok.at[0].set(False),   # oldest anchors the gauge
+        pts=pts_local,
+        pt_valid=pt_local_valid,
+        g_pt=jnp.clip(g_pt, -1, pl - 1),
+        g_uv=m.kf_xy[all_slots],
+        g_ur=m.kf_uright[all_slots],
+        g_sigma2=sigma2,
+        g_valid=g_valid,
+        obs_table=obs_table,
+    )
+    return GridExtract(
+        prob=prob,
+        local_kf_slots=jnp.where(local_ok, local_slots, -1),
+        local_pt_slots=local_pt_slots,
+        window_kf_slots=jnp.where(all_ok, all_slots, -1),
+    )
+
+
+@jax.jit
+def write_back_local_ba_grid(m: MapState, ext: GridExtract, T_opt, pts,
+                             grid_inlier) -> MapState:
+    """Scatter optimized poses/points into the map and erase outlier
+    observations (reference: src/orboptimizer.cpp:735-798)."""
+    K, P = m.kf_capacity, m.pt_capacity
+    kf_ok = ext.local_kf_slots >= 0
+    kf_tgt = jnp.where(kf_ok, ext.local_kf_slots, K - 1)
+    kf_T = jnp.where(kf_ok[:, None, None], T_opt, m.kf_T_cw[kf_tgt])
+    m = m._replace(kf_T_cw=m.kf_T_cw.at[kf_tgt].set(kf_T))
+
+    pt_ok = ext.local_pt_slots >= 0
+    pt_tgt = jnp.where(pt_ok, ext.local_pt_slots, P - 1)
+    pt_new = jnp.where(pt_ok[:, None], pts, m.pt_pos[pt_tgt])
+    m = m._replace(pt_pos=m.pt_pos.at[pt_tgt].set(pt_new))
+
+    # outlier erasure: active-going-in grid slots that failed the final gate
+    prob = ext.prob
+    bad = prob.g_valid & (~grid_inlier) & (ext.window_kf_slots >= 0)[:, None]
+    KW, F = bad.shape
+    rows = jnp.where(
+        (ext.window_kf_slots >= 0)[:, None],
+        jnp.broadcast_to(ext.window_kf_slots[:, None], (KW, F)), K - 1,
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (KW, F), 1)
+    obs = m.kf_obs_point.at[rows, cols].min(
+        jnp.where(bad, -1, jnp.iinfo(jnp.int32).max)
+    )
+    return m._replace(kf_obs_point=obs)
+
+
 def local_mapping_step(m: MapState, center_slot, config: SystemConfig,
                        ko: int = KO_DEFAULT, kfix: int = KFIX_DEFAULT,
                        pl: int = PL_DEFAULT,
                        update_covis: bool = True, counts=None,
                        el: int = EL_DEFAULT):
-    """Full local-BA pass around a newly inserted keyframe.
+    """Full local-BA pass around a newly inserted keyframe (dense-grid
+    scatter-free solver, optim/ba_grid.py).
 
     ``counts``: optional observation counts threaded through — the outlier
     observations erased by the post-BA chi2 gate decrement their points'
     counts and ``(m, counts)`` is returned."""
+    from ..optim.ba_grid import bundle_adjust_grid
+
     cam = config.camera
-    ext = extract_local_ba(
-        m, center_slot, ko, kfix, pl, config.orb.scale_factor, el
+    ext = extract_local_ba_grid(
+        m, center_slot, ko, kfix, pl, config.orb.scale_factor
     )
-    res = bundle_adjust(
+    res = bundle_adjust_grid(
         ext.prob, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
-        fix_first_pose=True,  # oldest local KF anchors the gauge (see extract)
     )
-    m = write_back_local_ba(m, ext, res.T_opt, res.pts, res.edge_inlier)
+    m = write_back_local_ba_grid(m, ext, res.T_opt, res.pts, res.grid_inlier)
     # refresh point statistics after the window settles (reference refreshes
     # descriptors/normals in SearchInNeighbors, src/mapping.cpp:627-640).
-    # Windowed: only the local points changed, and their observers are (by
-    # the fixed-observer construction) in the window.
     from .map_state import refresh_windowed
 
     m = refresh_windowed(m, ext.local_pt_slots, ext.window_kf_slots)
@@ -242,8 +393,8 @@ def local_mapping_step(m: MapState, center_slot, config: SystemConfig,
     if counts is None:
         return m
     P = m.pt_capacity
-    bad = ext.prob.e_valid & (~res.edge_inlier)
-    gpt = ext.local_pt_slots[ext.prob.e_pt]                    # [E] global
+    bad = ext.prob.g_valid & (~res.grid_inlier)
+    gpt = ext.local_pt_slots[jnp.clip(ext.prob.g_pt, 0, pl - 1)]  # [KW, F]
     counts = counts.at[
         jnp.where(bad & (gpt >= 0), jnp.clip(gpt, 0, P - 1), P - 1)
     ].add(-bad.astype(jnp.int32)).at[P - 1].set(0)

@@ -636,15 +636,15 @@ def reassign_point_refs(m: MapState) -> MapState:
     )
 
 
-@jax.jit
-def evict_oldest_if_full(m: MapState) -> MapState:
+@functools.partial(jax.jit, static_argnames=("min_free",))
+def evict_oldest_if_full(m: MapState, min_free: int = 1) -> MapState:
     """Slot-recycling backstop for the fixed keyframe capacity (no reference
     analogue — its heap map grows unboundedly, SURVEY.md section 7 hard-part
-    2): when every slot is valid, retire the second-oldest keyframe (the
-    absolute oldest stays as the gauge anchor), unbinding its observations.
-    Normal operation rarely reaches this; KeyFrameCulling usually frees
-    slots first."""
-    full = jnp.all(m.kf_valid)
+    2): when fewer than ``min_free`` slots are free, retire the
+    second-oldest keyframe (the absolute oldest stays as the gauge anchor),
+    unbinding its observations.  Normal operation rarely reaches this;
+    KeyFrameCulling usually frees slots first."""
+    full = jnp.sum(m.kf_valid) > m.kf_capacity - min_free
     ids = jnp.where(m.kf_valid, m.kf_id, jnp.iinfo(jnp.int32).max)
     # never evict loop-closure anchors: their edges feed every later
     # essential-graph solve (persistent loop edges)
@@ -703,25 +703,47 @@ def cull_points(m: MapState, current_kf_id, th_obs: int = 3, counts=None):
 def cull_keyframes(m: MapState, protect_slot,
                    update_covis: bool = True, counts=None) -> MapState:
     """KeyFrameCulling (reference: src/mapping.cpp:646-710): a keyframe whose
-    tracked points are >=90% observed by >=3 other keyframes at the same or
-    finer scale is redundant.  Array form: per (kf, feat) slot, look up the
-    point's total observation count; scale comparison is approximated by
-    total counts (documented divergence — the reference compares octaves per
-    observation, which needs the full [K,F] x [K,F] join; planned follow-up).
+    tracked points are >=90% observed by >=3 OTHER keyframes at the same or
+    finer scale is redundant.
+
+    The scale comparison is per observation like the reference
+    (``pKFi->octave <= scaleLevel + 1``, src/mapping.cpp:677-693), computed
+    as a per-point OCTAVE HISTOGRAM: one [K,F]->[P,L] scatter + cumsum, then
+    each binding reads how many observers sit at octave <= its own + 1.
+    The round-3 total-count approximation over-culled badly: with dense
+    keyframe cadence, consecutive frontier keyframes looked mutually
+    redundant, got serially culled, and orphaned the newest map region.
 
     ``update_covis=False`` skips the tail covisibility rebuild — callers
     chaining several map passes per keyframe rebuild once at the end.
-    ``counts``: optional precomputed observation counts (skips the recount).
+    ``counts`` is accepted for API compatibility (the octave histogram
+    replaces it for the redundancy test).
     """
-    obs = point_observation_counts(m) if counts is None else counts
+    P = m.pt_capacity
+    L = 8  # octave-level capacity (n_levels <= 8 at every config)
     bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
-    pt_obs = jnp.where(bound, obs[jnp.clip(m.kf_obs_point, 0, m.pt_capacity - 1)], 0)
+    binds = jnp.clip(m.kf_obs_point, 0, P - 1)
+    oct_c = jnp.clip(m.kf_octave, 0, L - 1)
+    # per-point observer count at each octave: [P, L]
+    tgt_p = jnp.where(bound, binds, P - 1)
+    hist = jnp.zeros((P, L), jnp.int32).at[tgt_p, oct_c].add(
+        bound.astype(jnp.int32)
+    )
+    cum = jnp.cumsum(hist, axis=1)                   # observers at oct <= l
+    # per binding: OTHER observers at octave <= own + 1 (own always counts
+    # in cum at its own level -> subtract 1)
+    lvl = jnp.clip(oct_c + 1, 0, L - 1)
+    n_scale_obs = cum[tgt_p, lvl] - 1
     n_tracked = jnp.sum(bound, axis=1)
-    n_redundant = jnp.sum(bound & (pt_obs >= 4), axis=1)
+    n_redundant = jnp.sum(bound & (n_scale_obs >= 3), axis=1)
     redundant = (
         m.kf_valid
         & (n_redundant > (0.9 * n_tracked).astype(jnp.int32))
         & (n_tracked > 0)
+        # the reference only examines the new keyframe's covisible local
+        # window (src/mapping.cpp:648-651); global candidates would let a
+        # distant, still-load-bearing region self-destruct
+        & (m.covis[protect_slot] > 0)
     )
     # never cull the newest KF or slot 0 (origin anchor, reference keeps KF0)
     redundant = redundant.at[protect_slot].set(False).at[0].set(False)

@@ -16,7 +16,12 @@ import time
 
 import numpy as np
 
-from ..io.messages import Geolocation, chunk_map_messages
+from ..io.messages import (
+    Geolocation,
+    OrbslamMap,
+    PointCloudReading,
+    chunk_map_messages,
+)
 from ..io.od4 import NullSession
 from ..utils import trajectory as traj_utils
 from ..utils import wgs84
@@ -114,6 +119,36 @@ class Selflocalization:
             np.asarray(self.slam.trajectory[-1]), pts.tolist()
         ):
             self.od4.send(msg)
+
+    def send_to_webb(self) -> OrbslamMap:
+        """One-shot web-visualizer message (sendToWebb, reference:
+        src/selflocalization.cpp:592-636): the camera centre plus ALL map
+        points as ':'-joined 4-decimal strings in a single OrbslamMap —
+        the unchunked channel next to the chunked send_map."""
+        cam_txt = ""
+        map_txt = ""
+        m = getattr(self.slam, "map", None)
+        if m is not None and self.slam.trajectory:
+            T = np.asarray(self.slam.trajectory[-1], dtype=np.float64)
+            c = -T[:3, :3].T @ T[:3, 3]
+            cam_txt = "".join(f"{v:.4f}:" for v in c)
+            pts = np.asarray(m.pt_pos)[np.asarray(m.pt_valid)]
+            map_txt = "".join(
+                f"{x:.4f}:{y:.4f}:{z:.4f}:" for x, y, z in pts
+            )
+        return OrbslamMap(
+            camera_coordinates=cam_txt.encode(),
+            map_coordinates=map_txt.encode(),
+        )
+
+    def create_point_cloud_from_map(self) -> PointCloudReading:
+        """Stub parity with CreatePointCloudFromMap (reference:
+        src/selflocalization.cpp:582-590 — the reference hard-codes these
+        placeholder values too)."""
+        return PointCloudReading(
+            start_azimuth=0.0, end_azimuth=0.0, entries_per_azimuth=12,
+            distances=b"hello", number_of_bits_for_intensity=0,
+        )
 
     # ------------------------------------------------------------------
     # Dumps (reference: :95-134 + src/tracking.cpp:1449-1536)

@@ -97,15 +97,26 @@ def _local_point_window(m: MapState, bindings):
     ].set(bindings >= 0)
     cur_bound = cur_bound.at[P - 1].set(False)
 
-    # keyframes ranked by shared-point count (one [K,F] gather)
+    # keyframes ranked by shared-point count (one [K,F] gather), with
+    # RECENCY as the tie-break: when the frame inherited few/no map
+    # bindings (stale prediction, wide-rung matches on temporal VO points)
+    # a zero-share mask used to empty the whole local window and the frame
+    # could never re-acquire the map; the reference's UpdateLocalKeyFrames
+    # always keeps the latest keyframes reachable through the
+    # neighbour/parent expansion (src/tracking.cpp:1067-1175)
     sees = jnp.where(
         m.kf_feat_valid & (m.kf_obs_point >= 0),
         jnp.take(cur_bound, jnp.clip(m.kf_obs_point, 0, P - 1)),
         False,
     ) & m.kf_valid[:, None]
     share = jnp.sum(sees, axis=1)
-    top_w, top_kfs = jax.lax.top_k(share, N_LOCAL_KFS)
-    kf_ok = top_w > 0
+    rank_score = jnp.where(
+        m.kf_valid,
+        share * (1 << 20) + jnp.maximum(m.kf_id, 0),
+        -1,
+    )
+    top_w, top_kfs = jax.lax.top_k(rank_score, N_LOCAL_KFS)
+    kf_ok = top_w >= 0
 
     binds = m.kf_obs_point[top_kfs]                         # [NK, F]
     b_ok = m.kf_feat_valid[top_kfs] & (binds >= 0) & kf_ok[:, None]
@@ -376,8 +387,20 @@ def mapping_stage(m: MapState, slot, config: SystemConfig,
         m, counts = run_fusion(m, slot, config, update_covis=False,
                                counts=counts)
     if do_lba:
-        m, counts = local_mapping_step(m, slot, config, update_covis=False,
-                                       counts=counts)
+        # divergence guard (beyond-reference robustness): a local BA seeded
+        # with a few garbage stereo edges can throw the window meters away;
+        # adopting that poisons the tracker through the pose rebase.  A
+        # legitimate local correction is centimetres, so revert the whole
+        # LBA output when the center keyframe moved implausibly far.
+        T_pre = m.kf_T_cw[slot]
+        m2, counts2 = local_mapping_step(m, slot, config, update_covis=False,
+                                         counts=counts)
+        moved = jnp.linalg.norm(
+            (lie.inv_T(T_pre) @ m2.kf_T_cw[slot])[:3, 3]
+        )
+        ok = moved < 1.0
+        m = jax.tree.map(lambda a, b: jnp.where(ok, a, b), m2, m)
+        counts = jnp.where(ok, counts2, counts)
     if do_cull:
         m = cull_keyframes(m, slot, update_covis=False, counts=counts)
     m = m._replace(covis=recompute_covisibility(m))
@@ -419,6 +442,52 @@ def keyframe_stage(m: MapState, frame, bindings, config: SystemConfig,
     return m, slot
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _track_ref_kf_program(m: MapState, kf_nodes, last_bindings,
+                          cur: FrameState, cur_nodes, T_cw,
+                          config: SystemConfig):
+    """TrackReferenceKeyFrame as one program (reference:
+    src/tracking.cpp:587-629): pick the keyframe sharing most points with
+    the last frame, BoW-match the current frame against it, pose-optimize
+    from the last pose.  Returns (T_est, bindings, n_pair, n_inl)."""
+    from ..ops.matching import search_by_bow
+    from ..optim.pose_opt import PoseObs, pose_optimize
+    from .frame import features_scale_sigma2
+
+    cam = config.camera
+    P = m.pt_capacity
+    binds = last_bindings
+    cur_bound = jnp.zeros((P,), bool).at[
+        jnp.where(binds >= 0, binds, P - 1)
+    ].set(binds >= 0).at[P - 1].set(False)
+    sees = jnp.where(
+        m.kf_feat_valid & (m.kf_obs_point >= 0),
+        jnp.take(cur_bound, jnp.clip(m.kf_obs_point, 0, P - 1)),
+        False,
+    ) & m.kf_valid[:, None]
+    ref_slot = jnp.argmax(jnp.sum(sees, axis=1))
+
+    feats = cur.features
+    idx_kf, ok = search_by_bow(
+        feats.desc, cur_nodes, feats.valid, feats.angle,
+        m.kf_desc[ref_slot], kf_nodes[ref_slot],
+        m.kf_feat_valid[ref_slot], m.kf_angle[ref_slot],
+        max_dist=50, nn_ratio=0.7,
+    )
+    bind = m.kf_obs_point[ref_slot][idx_kf]
+    pair_ok = ok & (bind >= 0) & m.pt_valid[jnp.clip(bind, 0, P - 1)]
+    sigma2 = features_scale_sigma2(feats, config.orb.scale_factor)
+    obs = PoseObs(
+        p_w=m.pt_pos[jnp.clip(bind, 0, P - 1)],
+        uv=feats.xy, u_right=feats.u_right, sigma2=sigma2, valid=pair_ok,
+    )
+    T_est, inliers, n_inl = pose_optimize(
+        T_cw, obs, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+    )
+    bindings = jnp.where(pair_ok & inliers, bind, -1)
+    return T_est, bindings, jnp.sum(pair_ok), n_inl
+
+
 @jax.jit
 def rebase_pose(T_cur, T_kf_pre, T_kf_post):
     """Re-express the tracker pose after an async mapping stage moved its
@@ -437,7 +506,16 @@ class StereoSlam:
 
     def __init__(self, config: SystemConfig, vocab=None,
                  enable_loop_closing: bool = True,
-                 enable_relocalization: bool = True):
+                 enable_relocalization: bool = True,
+                 tracking_only: bool = False):
+        #: localization-only mode (the reference's mbOnlyTracking,
+        #: src/tracking.cpp:1538-1640): the map is frozen — no keyframes,
+        #: no mapping stages — and the tracker runs the mbVO dual-hypothesis
+        #: logic when it falls off the map (fewer than 10 map inliers:
+        #: visual odometry carries the pose while relocalization is tried
+        #: every frame; a successful reloc snaps back to the map).
+        self.tracking_only = tracking_only
+        self._vo_mode = False
         self.config = config
         self.map = empty_map(
             min(config.initial_keyframes, config.max_keyframes),
@@ -461,6 +539,10 @@ class StereoSlam:
         # in-flight async mapping stage:
         # dict(map, aux, slot(host int-able dev scalar), kf_id, T_kf_pre)
         self._kf_pending = None
+        # inserted keyframes awaiting their mapping stage: [(slot, kf_id)]
+        self._kf_queue: list = []
+        # previous frame's decision scalars (device array, fetched next frame)
+        self._decision_pending = None
         # tracked-counter deltas accumulated while a stage is in flight
         self._pending_vis = None
         self._pending_found = None
@@ -600,55 +682,24 @@ class StereoSlam:
         """BoW-match the frame against its reference keyframe and
         pose-optimize from the last pose (TrackReferenceKeyFrame, reference:
         src/tracking.cpp:587-629) — the fallback rung between motion-model
-        tracking and full relocalization."""
+        tracking and full relocalization.  ONE device program + ONE host
+        fetch (it runs exactly when the system is already struggling)."""
         if self.vocab is None or self.kf_nodes is None:
             return False
         from . import vocabulary as voc
-        from ..ops.matching import search_by_bow
-
-        # reference KF = the keyframe sharing most points with the last frame
-        P = self.map.pt_capacity
-        binds = self.last_bindings
-        cur_bound = jnp.zeros((P,), bool).at[
-            jnp.where(binds >= 0, binds, P - 1)
-        ].set(binds >= 0).at[P - 1].set(False)
-        sees = jnp.where(
-            self.map.kf_feat_valid & (self.map.kf_obs_point >= 0),
-            jnp.take(cur_bound, jnp.clip(self.map.kf_obs_point, 0, P - 1)),
-            False,
-        ) & self.map.kf_valid[:, None]
-        ref_slot = int(jnp.argmax(jnp.sum(sees, axis=1)))
 
         feats = cur.features
         words, nodes = voc.transform(self.vocab, feats.desc, feats.valid)
-        idx_kf, ok = search_by_bow(
-            feats.desc, nodes, feats.valid, feats.angle,
-            self.map.kf_desc[ref_slot], self.kf_nodes[ref_slot],
-            self.map.kf_feat_valid[ref_slot], self.map.kf_angle[ref_slot],
-            max_dist=50, nn_ratio=0.7,
+        T_est, bindings, n_pair, n_inl = _track_ref_kf_program(
+            self.map, self.kf_nodes, self.last_bindings, cur, nodes,
+            self.T_cw, self.config,
         )
-        bind = self.map.kf_obs_point[ref_slot][idx_kf]
-        pair_ok = ok & (bind >= 0) & self.map.pt_valid[jnp.clip(bind, 0, P - 1)]
-        if int(jnp.sum(pair_ok)) < 15:  # reference: >=15 matches (:607)
-            return False
-
-        from ..optim.pose_opt import PoseObs, pose_optimize, robust_pose_estimate
-        from .frame import features_scale_sigma2
-
-        cam = self.config.camera
-        sigma2 = features_scale_sigma2(feats, self.config.orb.scale_factor)
-        obs = PoseObs(
-            p_w=self.map.pt_pos[jnp.clip(bind, 0, P - 1)],
-            uv=feats.xy, u_right=feats.u_right, sigma2=sigma2, valid=pair_ok,
-        )
-        T_est, inliers, n_inl = pose_optimize(
-            self.T_cw, obs, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-            bf=cam.bf,
-        )
-        if int(n_inl) < 10:  # reference: >=10 map inliers (:625)
+        stats = np.asarray(jnp.stack([n_pair, n_inl]))
+        # reference gates: >=15 BoW matches (:607), >=10 map inliers (:625)
+        if int(stats[0]) < 15 or int(stats[1]) < 10:
             return False
         self.T_cw = T_est
-        self.last_bindings = jnp.where(pair_ok & inliers, bind, -1)
+        self.last_bindings = bindings
         self.lost = False
         return True
 
@@ -681,23 +732,35 @@ class StereoSlam:
         src/mapping.cpp:56, src/tracking.cpp:831)."""
         return self._kf_pending is not None
 
-    def _dispatch_keyframe(self, frame: FrameState, bindings):
+    # max keyframes inserted-but-not-yet-mapped while a stage is in flight
+    # (the reference's stereo queue discipline: insert while fewer than 3
+    # wait, src/tracking.cpp:884-893)
+    KF_QUEUE_CAP = 2
+
+    def _insert_only(self, frame: FrameState, bindings):
         """Tracking-thread half (sync dispatch, no host round-trip): insert
-        the keyframe + close points, then launch the heavy mapping stage
-        asynchronously.  Returns the post-insert bindings (includes the
-        newly created points, like CreateNewKeyFrame's frame bindings,
-        reference: src/tracking.cpp:930-969)."""
+        the keyframe + close points (CreateNewKeyFrame runs on the tracking
+        thread in the reference too, src/tracking.cpp:898-976).  Returns
+        (slot, kf_id, post-insert bindings)."""
         self.map, slot, new_bindings, occ = insert_stage(
             self.map, frame, bindings, self.config
         )
         kf_id = self.n_keyframes
         self.n_keyframes += 1
         self.frames_since_kf = 0
+        self._inserts_since_occ = getattr(self, "_inserts_since_occ", 0) + 1
+        return slot, kf_id, new_bindings
+
+    def _dispatch_mapping(self, slot, kf_id, do_lba: bool = True):
+        """Launch the heavy mapping stage asynchronously for an inserted
+        keyframe.  ``do_lba=False`` skips the local BA — the analogue of the
+        reference's InterruptBA when more keyframes wait in the queue
+        (src/mapping.cpp:118-123)."""
         m_new, aux = mapping_stage(
             self.map, slot, self.config,
             do_triangulate=kf_id >= 1,
             do_fuse=kf_id >= 1,
-            do_lba=kf_id >= 2,
+            do_lba=kf_id >= 2 and do_lba,
             do_cull=kf_id >= 4,
         )
         self._kf_pending = {
@@ -707,6 +770,27 @@ class StereoSlam:
         P = self.map.pt_capacity
         self._pending_vis = jnp.zeros((P,), jnp.int32)
         self._pending_found = jnp.zeros((P,), jnp.int32)
+
+    def _dispatch_keyframe(self, frame: FrameState, bindings):
+        """Insert a keyframe; run its mapping stage now if the pipeline is
+        idle, else queue it (burst-insertion semantics like the reference's
+        abortable mapping queue).
+
+        Queued keyframes keep their SOURCE DATA, not their slot: the
+        in-flight stage's output replaces the whole map at adoption, which
+        would silently erase any keyframe inserted after its dispatch (and
+        its point allocations could collide with the stage's triangulated
+        slots).  The insert below still happens immediately so TRACKING
+        sees the new close points; at adoption the keyframe is re-inserted
+        onto the settled map (bindings the tracker formed against the
+        interim points are dropped by validity masks — a bounded,
+        documented cost of the lock-free functional map)."""
+        slot, kf_id, new_bindings = self._insert_only(frame, bindings)
+        if self._kf_pending is None:
+            self._dispatch_mapping(slot, kf_id)
+        else:
+            self._kf_queue.append({"frame": frame, "bindings": bindings,
+                                   "kf_id": kf_id})
         return new_bindings
 
     def _try_adopt_mapping(self, force: bool = False):
@@ -737,16 +821,38 @@ class StereoSlam:
         )
         self.ref_kf_tracked = max(int(stats[0]), 1)
         self._occ = (int(stats[1]), int(stats[2]))
+        self._inserts_since_occ = len(self._kf_queue)
         slot = int(stats[3])
         self.last_kf_slot = slot
-        self._maybe_resize()
+        self._maybe_resize(extra_kf=len(self._kf_queue))
         self._register_keyframe(slot, pend["kf_id"])
+        # drain the insertion queue: REPLAY the queued keyframes onto the
+        # settled map (see _dispatch_keyframe), then start the next mapping
+        # stage; LBA only when the backlog is clear (InterruptBA semantics)
+        if self._kf_queue:
+            for q in self._kf_queue:
+                # entries queued while the just-adopted stage was in flight
+                # are not in its output map: re-insert them.  Entries
+                # replayed at an earlier adoption are already part of every
+                # later stage's base map and keep their slot.
+                if q.get("slot") is None:
+                    self.map, q_slot, _, _ = insert_stage(
+                        self.map, q["frame"], q["bindings"], self.config
+                    )
+                    q["slot"] = q_slot
+            first = self._kf_queue.pop(0)
+            self._dispatch_mapping(first["slot"], first["kf_id"],
+                                   do_lba=not self._kf_queue)
+            if force:
+                self._try_adopt_mapping(force=True)
 
-    def _maybe_resize(self):
+    def _maybe_resize(self, extra_kf: int = 0):
         """Capacity-bucket growth / eviction headroom, decided from the
-        occupancy snapshot (no extra device reads)."""
+        occupancy snapshot (no extra device reads).  ``extra_kf``: queued
+        keyframes about to be replayed on top of the snapshot."""
         cfg = self.config
         n_kf, n_pt = self._occ
+        n_kf += extra_kf
         K, P = self.map.kf_capacity, self.map.pt_capacity
         grow_k = K if n_kf < K - 4 else min(K * 4, cfg.max_keyframes)
         grow_p = (
@@ -769,11 +875,13 @@ class StereoSlam:
             # an in-flight GBA snapshot has the old shapes: drop it (the
             # reference aborts GBA on map topology changes too)
             self.pending_gba = None
-        elif n_kf >= K - 2 and K >= cfg.max_keyframes:
-            # at the top bucket: make room the recycling way
+        elif n_kf >= K - 5 and K >= cfg.max_keyframes:
+            # at the top bucket: make room the recycling way — keep enough
+            # headroom for one in-flight insert plus the full queue
             from .map_state import evict_oldest_if_full
 
-            self.map = evict_oldest_if_full(self.map)
+            for _ in range(3):
+                self.map = evict_oldest_if_full(self.map, min_free=5)
 
     def _insert_keyframe(self, frame: FrameState, bindings):
         """Synchronous insert + mapping + registration (bootstrap path and
@@ -782,6 +890,22 @@ class StereoSlam:
         bindings = self._dispatch_keyframe(frame, bindings)
         self._try_adopt_mapping(force=True)
         return self.map.kf_obs_point[self.last_kf_slot]
+
+    def finish(self):
+        """Settle all in-flight asynchronous work: adopt the pending mapping
+        stage and run any in-flight incremental GBA to completion (the
+        functional analogue of Selflocalization::Shutdown joining the
+        mapping/loop-closing threads, reference:
+        src/selflocalization.cpp:560-570).  Call before reading final map /
+        trajectory state."""
+        if self._decision_pending is not None:
+            stats_dev, T_before, binds, frame = self._decision_pending
+            self._decision_pending = None
+            self._handle_decision(np.asarray(stats_dev), T_before, binds,
+                                  frame)
+        self._try_adopt_mapping(force=True)
+        while self.pending_gba is not None:
+            self._service_gba()
 
     def reset(self):
         """Full system reset (Selflocalization::Reset -> Tracking::Reset,
@@ -803,7 +927,10 @@ class StereoSlam:
         self.n_keyframes = 0
         self.last_reloc_frame = -(10 ** 9)
         self._occ = (0, 0)
+        self._inserts_since_occ = 0
         self._kf_pending = None
+        self._kf_queue = []
+        self._decision_pending = None
         self._pending_vis = self._pending_found = None
         self.db = None
         self.kf_nodes = None
@@ -870,7 +997,19 @@ class StereoSlam:
         c1b = self.frames_since_kf >= cfg.tracking.min_frames and not busy
         c1c = need_close or tracked < 0.25 * n_ref
         c2 = (tracked < th_ref_ratio * n_ref or need_close) and tracked > 15
-        return (c1a or c1b or c1c) and c2 and not busy
+        # insertion admission (reference: src/tracking.cpp:884-893): idle ->
+        # insert; busy -> stereo/RGB-D may still QUEUE while fewer than
+        # KF_QUEUE_CAP wait (the mapping stage drains them with LBA
+        # skipped), monocular never queues
+        can_insert = (not busy) or (
+            cfg.camera_type != "mono"
+            and len(self._kf_queue) < self.KF_QUEUE_CAP
+        )
+        # hard capacity guard: never insert into a map without a free slot
+        # (slot allocation would overwrite keyframe 0, the gauge anchor)
+        est_kf = self._occ[0] + getattr(self, "_inserts_since_occ", 0)
+        can_insert = can_insert and est_kf < self.map.kf_capacity - 1
+        return (c1a or c1b or c1c) and c2 and can_insert
 
     def _step(self, cur: FrameState):
         cfg = self.config
@@ -884,6 +1023,17 @@ class StereoSlam:
             self.reset()
 
         if self.last_frame is None:
+            if self.tracking_only:
+                # localization-only: no map bootstrap — relocalize against
+                # the preloaded map (reference activates OnlyTracking on an
+                # existing map)
+                self.last_frame = cur
+                self.last_bindings = -jnp.ones(
+                    (cur.features.capacity,), jnp.int32
+                )
+                self._try_relocalize(cur)
+                self.trajectory.append(self.T_cw)
+                return self.T_cw
             # stereo initialization (reference: src/tracking.cpp:342-395)
             n_depth = int(jnp.sum(cur.features.depth > 0))
             if n_depth < 100:
@@ -909,19 +1059,93 @@ class StereoSlam:
         self.map = apply_point_counters(
             self.map, out.pt_visible_delta, out.pt_found_delta
         )
+        # Optimistic pose integration: assume the frame tracked (the common
+        # case) and update pose/velocity on-device without reading anything
+        # back.  The decision scalars are fetched ONE FRAME LATE, below —
+        # the fetch for frame N-1 overlaps the device computing frame N, so
+        # steady-state throughput is device-bound instead of paying a full
+        # tunnel round-trip per frame on top of the compute.
         T_new = out.T_cw
-        # ONE device->host transfer for all per-frame decision scalars: on a
-        # remote/tunneled device each int() costs a full RTT; four separate
-        # reads were the frame-loop's hidden latency floor
-        stats = np.asarray(jnp.stack([
+        stats_dev = jnp.stack([
             out.n_inliers.astype(jnp.int32),
             jnp.sum(out.bindings >= 0).astype(jnp.int32),
             out.n_tracked_close.astype(jnp.int32),
             out.n_untracked_close.astype(jnp.int32),
-        ]))
+        ])
+        T_before = self.T_cw
+        bindings_before = self.last_bindings
+        frame_before = self.last_frame
+        self.velocity = T_new @ lie.inv_T(self.T_cw)
+        self.T_cw = T_new
+        cur = cur._replace(T_cw=T_new)
+        self.last_frame = cur
+        self.last_bindings = out.bindings
+        self.frames_since_kf += 1
+        self.trajectory.append(T_new)
+
+        # ---- decision handling -------------------------------------------
+        # Healthy steady state: act on the PREVIOUS frame's scalars — the
+        # fetch for frame N-1 overlaps the device computing frame N, hiding
+        # the device round-trip behind compute.  Marginal tracking or a
+        # young map: decide SYNCHRONOUSLY on the current frame — stale
+        # decisions on a degrading tracker delay keyframes/recovery exactly
+        # when a single frame matters.
+        pend = getattr(self, "_decision_pending", None)
+        # Defer only with a LARGE tracking margin: deferral hides the device
+        # round-trip behind the next frame's compute, but it acts on
+        # one-frame-stale scalars and inserts the certified previous frame —
+        # on marginal tracking (fast rotation, sparse texture) that one
+        # frame is the difference between recovering and collapsing, so the
+        # gate is deliberately conservative (5x the lost threshold).
+        healthy = (
+            not getattr(self, "force_sync_decisions", False)
+            and self.n_keyframes > 5
+            and getattr(self, "last_stats", None) is not None
+            and int(self.last_stats[0]) >= 5 * MIN_INLIERS_MAP
+            and not self.lost
+        )
+        if healthy:
+            self._decision_pending = (stats_dev, T_before, bindings_before,
+                                      frame_before)
+            if pend is not None:
+                self._handle_decision(np.asarray(pend[0]), pend[1], pend[2],
+                                      pend[3])
+        else:
+            # sync mode: the current frame's scalars supersede any deferred
+            # ones (a lost previous frame shows up in the current inliers
+            # too — it tracked from the same bad pose)
+            self._decision_pending = None
+            self._handle_decision(np.asarray(stats_dev), T_before,
+                                  bindings_before, None)
+        self._service_gba()
+        return self.T_cw
+
+    def _handle_decision(self, stats, T_last_good=None, bindings_good=None,
+                         frame_good=None):
+        """Lost check + keyframe decision from the latest fetched stats.
+
+        In deferred mode the stats describe the PREVIOUS frame and
+        ``frame_good`` is that frame: it is the one inserted as a keyframe
+        — its quality is exactly what the stats certify (inserting the
+        still-unverified current frame once let a 3-inlier frame seed the
+        map and blow up local BA).  Sync mode (``frame_good=None``) inserts
+        the current frame like the reference's CreateNewKeyFrame."""
+        cfg = self.config
         n_inl, tracked = int(stats[0]), int(stats[1])
         n_tracked_close, n_untracked_close = int(stats[2]), int(stats[3])
         self.last_stats = stats  # observability: [n_inl, tracked, close+, close-]
+        if self.tracking_only:
+            # mbVO dual hypothesis (reference: src/tracking.cpp:1570-1640):
+            # with <10 map inliers the motion-model/VO estimate carries the
+            # pose (mbVO=true) and relocalization runs every frame; success
+            # snaps the tracker back onto the frozen map.
+            self._vo_mode = n_inl < 10
+            self.lost = False
+            if self._vo_mode and self._try_relocalize(self.last_frame):
+                self._vo_mode = False
+                self.last_reloc_frame = self.frame_idx
+                self.trajectory[-1] = self.T_cw
+            return
         # strict acceptance within the post-reloc window (reference:
         # src/tracking.cpp:800-806: >=50 inliers for 1 s after reloc)
         min_inliers = (
@@ -932,44 +1156,45 @@ class StereoSlam:
         if self.lost:
             # recovery needs the settled map (and may rebuild trust in it)
             self._try_adopt_mapping(force=True)
+            # The lost frame's estimate was integrated optimistically; roll
+            # the pose back to the last GOOD one before recovering, or the
+            # garbage compounds through velocity composition (the reference
+            # keeps the last good pose while LOST, src/tracking.cpp:266-276).
+            if T_last_good is not None:
+                self.T_cw = T_last_good
+            self.velocity = jnp.eye(4, dtype=jnp.float32)
+            cur = self.last_frame
+            # the reference-keyframe vote must come from the last GENUINELY
+            # tracked bindings — the current frame tracked from a bad pose
+            # and its bindings are near-empty, which would vote slot 0
+            cur_bindings = self.last_bindings
+            if bindings_good is not None:
+                self.last_bindings = bindings_good
             # fallback ladder (UpdatePoses dispatch, reference:
             # src/tracking.cpp:1538-1640): reference-KF BoW tracking, then
-            # full relocalization
+            # full relocalization.
             if self._track_reference_keyframe(cur):
-                T_new = self.T_cw
-                out = out._replace(bindings=self.last_bindings)
+                pass
             elif self._try_relocalize(cur):
-                T_new = self.T_cw
-                out = out._replace(bindings=self.last_bindings)
                 self.last_reloc_frame = self.frame_idx
             else:
-                # recovery failed: the failed estimate must NOT be integrated
-                # — the reference keeps the last good pose while LOST
-                # (src/tracking.cpp:266-276 only updates on OK) and so must
-                # we, or velocity composition compounds the garbage pose
-                # exponentially until it overflows to NaN and relocalization
-                # can never pull the tracker back. Bindings stay as tracked
-                # (few but genuinely matched, keyed by cur's features).
-                T_new = self.T_cw
-        if self.lost:
+                self.last_bindings = cur_bindings
             self.velocity = jnp.eye(4, dtype=jnp.float32)
-        else:
-            self.velocity = T_new @ lie.inv_T(self.T_cw)
-        self.T_cw = T_new
-        cur = cur._replace(T_cw=T_new)
-        bindings = out.bindings
-        self.frames_since_kf += 1
-
+            if self.last_frame is not None:
+                self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
+            self.trajectory[-1] = self.T_cw
+            return
         if self._need_new_keyframe(tracked, n_tracked_close,
                                    n_untracked_close):
-            bindings = self._dispatch_keyframe(cur, bindings)
+            if frame_good is not None:
+                # deferred: insert the certified previous frame; its new
+                # points reach the tracker through the local-map window
+                self._dispatch_keyframe(frame_good, bindings_good)
+            else:
+                self.last_bindings = self._dispatch_keyframe(
+                    self.last_frame, self.last_bindings
+                )
             # until the stage lands, the decision ratio runs against the
             # live tracked count (refreshed with mature-obs counts at
             # adoption)
             self.ref_kf_tracked = max(tracked, 1)
-
-        self.last_frame = cur
-        self.last_bindings = bindings
-        self.trajectory.append(T_new)
-        self._service_gba()
-        return T_new

@@ -232,12 +232,42 @@ def backproject(uv, depth, fx, fy, cx, cy):
     return jnp.stack([x, y, depth], axis=-1)
 
 
+def _inv3x3_sym(B):
+    """Closed-form inverse of batched symmetric 3x3 (adjugate / det)."""
+    a, b, c = B[..., 0, 0], B[..., 0, 1], B[..., 0, 2]
+    e, f = B[..., 1, 1], B[..., 1, 2]
+    i = B[..., 2, 2]
+    A11 = e * i - f * f
+    A12 = c * f - b * i
+    A13 = b * f - c * e
+    A22 = a * i - c * c
+    A23 = c * b - a * f
+    A33 = a * e - b * b
+    det = a * A11 + b * A12 + c * A13
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A12, A22, A23], -1),
+            jnp.stack([A13, A23, A33], -1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
 def triangulate_linear(P1, P2, uv1, uv2):
     """DLT triangulation of pixel pairs under 3x4 projections ``P1, P2``.
 
     Batched equivalent of OrbInitializer::Triangulate (reference:
-    src/orbinitializer.cpp:732-745): build the 4x4 system and take the
-    null-space via SVD; vmapped over N correspondences.
+    src/orbinitializer.cpp:732-745).  The reference takes the 4x4 system's
+    null space via SVD; batched tiny SVDs serialize terribly on TPU
+    (LAPACK-style inner loops), so this solves the equivalent
+    *inhomogeneous* DLT instead: with the homogeneous scale pinned (w = 1,
+    valid for the finite points SLAM triangulates — the cheirality/parallax
+    gates downstream kill near-infinity candidates anyway), the system
+    becomes ``M p = -b`` with M = A[:, :3], b = A[:, 3], solved in closed
+    form through the 3x3 normal equations — pure batched elementwise math.
     uv: ``[..., N, 2]``; returns ``[..., N, 3]`` world points.
     """
     def rows(P, uv):
@@ -250,11 +280,14 @@ def triangulate_linear(P1, P2, uv1, uv2):
         )
 
     A = jnp.concatenate(
-        [rows(P1[..., None, :, :], uv1), rows(P2[..., None, :, :], uv2)], axis=-2
-    )
-    # Smallest right singular vector of [N, 4, 4].
-    _, _, vt = jnp.linalg.svd(A)
-    X = vt[..., 3, :]
-    w = X[..., 3]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X[..., :3] / w[..., None]
+        [rows(P1[..., None, :, :], uv1), rows(P2[..., None, :, :], uv2)],
+        axis=-2,
+    )                                                   # [..., N, 4, 4]
+    # row normalization keeps the normal equations well-scaled across
+    # image positions (rows differ by pixel magnitude)
+    A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
+    M = A[..., :3]
+    b = A[..., 3]
+    MtM = jnp.einsum("...ri,...rj->...ij", M, M)
+    Mtb = jnp.einsum("...ri,...r->...i", M, b)
+    return -jnp.einsum("...ij,...j->...i", _inv3x3_sym(MtM), Mtb)

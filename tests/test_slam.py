@@ -67,6 +67,7 @@ def test_stereo_keyframes_triangulate_far_points():
     slam = StereoSlam(cfg)
     for i in range(n_frames):
         slam.process(lefts[i], rights[i], timestamp=i * 0.1)
+    slam.finish()   # settle the async mapping stage before reading the map
 
     pts = np.asarray(slam.map.pt_pos)[np.asarray(slam.map.pt_valid)]
     # world frame == first camera frame: z is distance along the optical axis
@@ -109,6 +110,7 @@ def test_two_lap_loop_closures_with_capacity_churn():
     for i in range(n):
         slam.process(lefts[i], rights[i], timestamp=i * 0.1)
         lost_frames += int(slam.lost)
+    slam.finish()
 
     est = np.stack([np.asarray(T) for T in slam.trajectory])
     assert np.isfinite(est).all(), "non-finite poses in trajectory"
