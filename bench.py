@@ -176,7 +176,11 @@ def main():
     print(json.dumps(out))
 
 
-def bench_full_slam(cfg, n_frames: int = 48, n_warm: int = 16):
+def bench_full_slam(cfg, n_frames: int = 56, n_warm: int = 24):
+    # n_warm covers every program variant the steady state reaches: the
+    # bootstrap mapping-stage ramp, the post-vocab-refresh place-recognition
+    # shapes, AND the queued (LBA-skipped) stage — a variant compiled
+    # mid-timing once cost a 9.5 s worst-frame
     """Steady-state throughput + worst-frame latency of StereoSlam.process
     (tracking + keyframe insertion + triangulation + fusion + local BA +
     culling + loop detection) on the KITTI-sized synthetic sequence."""

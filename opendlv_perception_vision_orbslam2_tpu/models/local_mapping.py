@@ -310,6 +310,17 @@ def extract_local_ba_grid(m: MapState, center_slot, ko: int = KO_DEFAULT,
     )[..., 0]
     g_valid = g_valid & (sel == f_iota)
 
+    # measurements gathered ONCE into the observation layout: the solver's
+    # LM loop then touches no gathers at all (optim/ba_grid.py)
+    g_uv = m.kf_xy[all_slots]
+    g_ur = m.kf_uright[all_slots]
+    obs_f = jnp.clip(obs_table, 0, F - 1)
+    o_valid = obs_table >= 0
+    w_rows = jnp.arange(KW)[None, :]
+    o_uv = g_uv[w_rows, obs_f]
+    o_ur = jnp.where(o_valid, g_ur[w_rows, obs_f], -1.0)
+    o_sigma2 = jnp.where(o_valid, sigma2[w_rows, obs_f], 1.0)
+
     prob = GridBAProblem(
         T_all=m.kf_T_cw[all_slots],
         kf_valid=all_ok,
@@ -317,11 +328,15 @@ def extract_local_ba_grid(m: MapState, center_slot, ko: int = KO_DEFAULT,
         pts=pts_local,
         pt_valid=pt_local_valid,
         g_pt=jnp.clip(g_pt, -1, pl - 1),
-        g_uv=m.kf_xy[all_slots],
-        g_ur=m.kf_uright[all_slots],
+        g_uv=g_uv,
+        g_ur=g_ur,
         g_sigma2=sigma2,
         g_valid=g_valid,
         obs_table=obs_table,
+        o_uv=o_uv,
+        o_ur=o_ur,
+        o_sigma2=o_sigma2,
+        o_valid=o_valid,
     )
     return GridExtract(
         prob=prob,

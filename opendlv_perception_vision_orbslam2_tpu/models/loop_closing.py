@@ -148,25 +148,49 @@ def compute_loop_transform(m: MapState, kf_nodes, cur_slot, cand_slot, key,
     cam = config.camera
     P = m.pt_capacity
     F = m.feat_capacity
+    K = m.kf_capacity
 
-    idx_b, ok_ab = search_by_bow(
-        m.kf_desc[cur_slot], kf_nodes[cur_slot], m.kf_feat_valid[cur_slot],
-        m.kf_angle[cur_slot],
-        m.kf_desc[cand_slot], kf_nodes[cand_slot], m.kf_feat_valid[cand_slot],
-        m.kf_angle[cand_slot],
-        max_dist=50, nn_ratio=0.75,
+    # --- stage 1 pairing: exact-NN keyframe-to-keyframe ------------------
+    # The reference pairs cur<->cand FEATURES via BoW shared nodes
+    # (SearchByBoW(KF,KF), reference: src/loopclosing.cpp:252-262) because
+    # descending ORBvoc is all it can afford; here the MXU affords the
+    # exact [F, F] Hamming matrix.  Crucially both 3D sides come from ONE
+    # keyframe each: under accumulated odometric drift the two map regions
+    # are not globally rigid to each other, but each keyframe's own bound
+    # points are locally consistent — the relative Sim3 absorbs the drift
+    # (that is its entire purpose).
+    from ..ops.hamming import TH_LOW as _TH_LOW
+    from ..ops.hamming import hamming_matrix as _ham
+
+    desc_a = m.kf_desc[cur_slot]
+    bind_a0 = m.kf_obs_point[cur_slot]
+    has3d_a = (
+        m.kf_feat_valid[cur_slot] & (bind_a0 >= 0)
+        & m.pt_valid[jnp.clip(bind_a0, 0, P - 1)]
     )
-    bind_a = m.kf_obs_point[cur_slot]
-    bind_b = m.kf_obs_point[cand_slot][idx_b]
+    bind_b0 = m.kf_obs_point[cand_slot]
+    has3d_b = (
+        m.kf_feat_valid[cand_slot] & (bind_b0 >= 0)
+        & m.pt_valid[jnp.clip(bind_b0, 0, P - 1)]
+    )
+    d_ab = _ham(desc_a, m.kf_desc[cand_slot])               # [F, F]
+    d_ab = jnp.where(has3d_a[:, None] & has3d_b[None, :], d_ab, 999)
+    fb = jnp.argmin(d_ab, axis=1)
+    bd = jnp.take_along_axis(d_ab, fb[:, None], 1)[:, 0]
+    back = jnp.argmin(d_ab, axis=0)
     pair_ok = (
-        ok_ab & (bind_a >= 0) & (bind_b >= 0)
-        & m.pt_valid[jnp.clip(bind_a, 0, P - 1)]
-        & m.pt_valid[jnp.clip(bind_b, 0, P - 1)]
+        has3d_a & (bd <= _TH_LOW)
+        & (jnp.take(back, fb) == jnp.arange(F))             # mutual best
     )
-    p_w_a = m.pt_pos[jnp.clip(bind_a, 0, P - 1)]
-    p_w_b = m.pt_pos[jnp.clip(bind_b, 0, P - 1)]
-    x_a = lie.transform_points(m.kf_T_cw[cur_slot][None], p_w_a[None])[0]
-    x_b = lie.transform_points(m.kf_T_cw[cand_slot][None], p_w_b[None])[0]
+    x_a = lie.transform_points(
+        m.kf_T_cw[cur_slot][None],
+        m.pt_pos[jnp.clip(bind_a0, 0, P - 1)][None],
+    )[0]
+    matched_pt_b = jnp.clip(bind_b0[fb], 0, P - 1)
+    x_b = lie.transform_points(
+        m.kf_T_cw[cand_slot][None], m.pt_pos[matched_pt_b][None]
+    )[0]
+    uv_b = m.kf_xy[cand_slot][fb]
 
     # --- stage 1: RANSAC over 3-point sets --------------------------------
     B = N_SIM3_HYPOTHESES
@@ -194,7 +218,6 @@ def compute_loop_transform(m: MapState, kf_nodes, cur_slot, cand_slot, key,
         return (u - uv_ref[..., 0]) ** 2 + (v - uv_ref[..., 1]) ** 2
 
     uv_a = m.kf_xy[cur_slot]
-    uv_b = m.kf_xy[cand_slot][idx_b]
     err_a = reproj_err(x_b_in_a, uv_a[None])
     err_b = reproj_err(x_a_in_b, uv_b[None])
     inl = (
@@ -215,6 +238,7 @@ def compute_loop_transform(m: MapState, kf_nodes, cur_slot, cand_slot, key,
     # scale-gated radius (reference: src/orbmatcher.cpp:1110-1336)
     from ..ops.hamming import MAX_DIST, TH_HIGH, hamming_matrix
 
+    bind_a = m.kf_obs_point[cur_slot]
     bind_b_raw = m.kf_obs_point[cand_slot]
     has_a = (bind_a >= 0) & m.pt_valid[jnp.clip(bind_a, 0, P - 1)] \
         & m.kf_feat_valid[cur_slot]
@@ -307,6 +331,9 @@ def compute_loop_transform(m: MapState, kf_nodes, cur_slot, cand_slot, key,
         jnp.clip(m.kf_obs_point, 0, P - 1), P - 1,
     )
     region = jnp.zeros((P,), bool).at[obs_masked.reshape(-1)].set(True)
+    region = region | jnp.take(
+        group, jnp.clip(m.pt_ref_kf, 0, m.kf_capacity - 1)
+    )
     region = region.at[P - 1].set(False) & m.pt_valid
     # corrected current camera: S_cur = S_rel ∘ S_cand
     x_cand = lie.transform_points(m.kf_T_cw[cand_slot][None], m.pt_pos[None])[0]
@@ -332,6 +359,47 @@ def compute_loop_transform(m: MapState, kf_nodes, cur_slot, cand_slot, key,
     ok = (n_inl >= MIN_LOOP_INLIERS) & (n_total >= MIN_LOOP_TOTAL)
     return LoopMatch(ok=ok, T_rel=T_ab, s_rel=s2, n_inliers=n_inl,
                      n_total=n_total)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _geometric_loop_query(m: MapState, kf_slot, key, config: SystemConfig):
+    """Vocabulary-free loop detection query (TPU-native): exact-NN Hamming
+    match of the keyframe's descriptors against every map point OUTSIDE its
+    covisible region (one MXU bit-dot), EPnP-RANSAC consensus on the
+    matches, and a vote for the old keyframe observing most inliers.
+
+    The reference can only afford an approximate BoW inverted file for this
+    (src/orbkeyframedatabase.cpp:70-198); with the brute matcher the weak
+    online-trained vocabulary stops being a single point of failure for
+    loop closure.  Returns (n_inliers, owner_slot, owner_votes).
+    """
+    from .relocalization import _brute_match_points
+
+    K, F, P = m.kf_capacity, m.feat_capacity, m.pt_capacity
+    # candidate keyframes must be OLD — created well before the current one
+    # (the temporal analogue of DetectLoop excluding the covisible group,
+    # reference: src/loopclosing.cpp:140-150)
+    cur_id = m.kf_id[kf_slot]
+    old_kf = m.kf_valid & (m.kf_id <= cur_id - 20)
+
+    # exact-NN vote over the STACKED keyframe descriptors: each current
+    # feature names its globally nearest old-keyframe feature; the keyframe
+    # collecting most votes is the loop candidate (the inverted-file query
+    # of the reference, src/orbkeyframedatabase.cpp:70-198, with the MXU
+    # replacing the approximate word index by exact Hamming NN)
+    flat_desc = m.kf_desc.reshape(K * F, 8)
+    flat_ok = (m.kf_feat_valid & old_kf[:, None]).reshape(K * F)
+    best_flat, ok = _brute_match_points(
+        m.kf_desc[kf_slot], m.kf_feat_valid[kf_slot], flat_desc, flat_ok
+    )
+    owner_of = best_flat // F
+    votes = jnp.zeros((K,), jnp.int32).at[
+        jnp.where(ok, owner_of, K - 1)
+    ].add(ok.astype(jnp.int32))
+    votes = jnp.where(old_kf & (jnp.arange(K) != kf_slot), votes, 0)
+    owner = jnp.argmax(votes)
+    n_votes = votes[owner]
+    return n_votes, owner, n_votes
 
 
 class EssentialEdges(NamedTuple):
@@ -488,28 +556,45 @@ class LoopCloser:
             int(c): covis_rows[i] for i, c in enumerate(cands_np) if c >= 0
         }
         cands = list(cand_rows.keys())
-        if not cands:
-            self.prev_groups, self.prev_counts = [], []
-            return m, False, None
 
         accepted = None
-        new_groups, new_counts = [], []
-        for c in cands:
-            # groups are keyed by STABLE keyframe ids, not slots: culling /
-            # capacity eviction between keyframes recycles slot indices,
-            # which would silently re-index a slot-keyed group
-            group = {int(kf_ids[c])} | {
-                int(kf_ids[j]) for j in np.nonzero(cand_rows[c])[0]
-            }
-            count = 0
-            for g_prev, c_prev in zip(self.prev_groups, self.prev_counts):
-                if group & g_prev:
-                    count = max(count, c_prev + 1)
-            new_groups.append(group)
-            new_counts.append(count)
-            if count >= COVIS_CONSISTENCY_TH - 1 and accepted is None:
-                accepted = c
-        self.prev_groups, self.prev_counts = new_groups, new_counts
+        if cands:
+            new_groups, new_counts = [], []
+            for c in cands:
+                # groups are keyed by STABLE keyframe ids, not slots:
+                # culling / capacity eviction between keyframes recycles
+                # slot indices, which would silently re-index a group
+                group = {int(kf_ids[c])} | {
+                    int(kf_ids[j]) for j in np.nonzero(cand_rows[c])[0]
+                }
+                count = 0
+                for g_prev, c_prev in zip(self.prev_groups, self.prev_counts):
+                    if group & g_prev:
+                        count = max(count, c_prev + 1)
+                new_groups.append(group)
+                new_counts.append(count)
+                if count >= COVIS_CONSISTENCY_TH - 1 and accepted is None:
+                    accepted = c
+            self.prev_groups, self.prev_counts = new_groups, new_counts
+        else:
+            self.prev_groups, self.prev_counts = [], []
+
+        if getattr(self, "geometric_detection", True) and int(n_valid) >= 20:
+            # geometric channel: exact-NN place recognition with EPnP
+            # consensus.  It runs ALONGSIDE the BoW channel and takes
+            # precedence when strong: on self-similar scenes the BoW
+            # 3-consecutive consistency gate can pass for consistently
+            # WRONG candidates, and after capacity eviction the true region
+            # may exist only as re-anchored points no BoW row can name.
+            # The geometric consensus IS the verification (the Sim3
+            # pipeline below still applies its own >=20/>=40 gates).
+            self.key, sub = jax.random.split(self.key)
+            n_inl_d, owner_d, votes_d = _geometric_loop_query(
+                m, kf_slot, sub, self.config
+            )
+            g = jax.device_get((n_inl_d, owner_d, votes_d))
+            if int(g[0]) >= 40 and int(g[2]) >= 20:
+                accepted = int(g[1])
         if accepted is None:
             return m, False, None
 

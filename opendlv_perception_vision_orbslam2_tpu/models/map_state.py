@@ -599,7 +599,7 @@ def refresh_windowed(m: MapState, pt_slots, kf_slots) -> MapState:
 # ---------------------------------------------------------------------------
 
 
-def reassign_point_refs(m: MapState) -> MapState:
+def reassign_point_refs(m: MapState, kill_orphans: bool = True) -> MapState:
     """Re-anchor points whose reference keyframe died.
 
     The reference re-parents in OrbKeyFrame::SetBadFlag (reference:
@@ -610,8 +610,14 @@ def reassign_point_refs(m: MapState) -> MapState:
     recycled slot would silently apply the WRONG keyframe's correction to
     its orphaned points in correct_loop / GBA merge.
 
-    Points left with NO observer at all are retired (the reference's
-    SetBadFlag on observation loss, src/orbmappoint.cpp:222-239).
+    ``kill_orphans``: with True (redundancy CULLING — the reference erases
+    such points' observations and kills low-observation points,
+    src/orbmappoint.cpp:222-239) points left with NO observer are retired.
+    With False (capacity EVICTION — no reference analogue; the evicted
+    keyframes were NOT redundant) orphaned points survive, re-anchored to
+    the TEMPORALLY nearest surviving keyframe: they are what later loop
+    closures and relocalization recognize when the camera revisits a
+    region whose keyframes fell to capacity churn.
     """
     K, F, P = m.kf_capacity, m.feat_capacity, m.pt_capacity
     bound = m.kf_feat_valid & (m.kf_obs_point >= 0) & m.kf_valid[:, None]
@@ -628,11 +634,32 @@ def reassign_point_refs(m: MapState) -> MapState:
 
     safe_ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
     ref_dead = (m.pt_ref_kf < 0) | (~m.kf_valid[safe_ref])
-    new_ref = jnp.where(ref_dead, rep, m.pt_ref_kf)
-    orphan = m.pt_valid & ~has_obs
+    if kill_orphans:
+        new_ref = jnp.where(ref_dead, rep, m.pt_ref_kf)
+        # only points orphaned by THIS cull die (dangling ref + no
+        # observer); eviction survivors carry a valid re-anchored ref and
+        # are exempt
+        orphan = m.pt_valid & ~has_obs & ref_dead
+        return m._replace(
+            pt_ref_kf=new_ref,
+            pt_valid=m.pt_valid & ~orphan,
+        )
+    # eviction path: orphans fall back to the temporally nearest valid
+    # keyframe (creation-id proximity tracks trajectory proximity, the same
+    # heuristic as the reference's spanning-tree correction propagation)
+    ids = jnp.where(m.kf_valid, m.kf_id, big)
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+    n_valid = jnp.sum(m.kf_valid)
+    pos = jnp.searchsorted(sorted_ids, m.pt_first_kf_id)
+    lo = jnp.clip(pos - 1, 0, K - 1)
+    hi = jnp.clip(jnp.minimum(pos, n_valid - 1), 0, K - 1)
+    d_lo = jnp.abs(m.pt_first_kf_id - sorted_ids[lo])
+    d_hi = jnp.abs(sorted_ids[hi] - m.pt_first_kf_id)
+    near = jnp.where(d_lo <= d_hi, order[lo], order[hi])
+    fallback = jnp.where(has_obs, rep, near)
     return m._replace(
-        pt_ref_kf=new_ref,
-        pt_valid=m.pt_valid & ~orphan,
+        pt_ref_kf=jnp.where(ref_dead, fallback, m.pt_ref_kf)
     )
 
 
@@ -665,7 +692,10 @@ def evict_oldest_if_full(m: MapState, min_free: int = 1) -> MapState:
         kf_valid=kf_valid,
         kf_obs_point=m.kf_obs_point.at[victim].set(cleared),
     )
-    m = reassign_point_refs(m)
+    # capacity eviction keeps the victim's points alive (see
+    # reassign_point_refs): they are the region's memory for loop closure /
+    # relocalization after the keyframes churn out
+    m = reassign_point_refs(m, kill_orphans=False)
     return m._replace(covis=recompute_covisibility(m))
 
 

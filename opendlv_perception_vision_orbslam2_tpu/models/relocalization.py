@@ -82,3 +82,91 @@ def relocalize(m: MapState, db: KeyFrameDatabase, kf_nodes,
             bindings = jnp.where(pair_ok & inliers, bind, -1)
             return RelocResult(True, T_est, bindings)
     return RelocResult(False, None, None)
+
+
+@jax.jit
+def _brute_match_points(feat_desc, feat_valid, pt_desc, pt_valid):
+    """Exact nearest-neighbour Hamming match of frame features against ALL
+    map point descriptors, chunked over the point axis so the [F, P]
+    distance matrix never materializes.  Returns (best_pt [F], ok [F])."""
+    from ..ops.hamming import MAX_DIST, TH_LOW, hamming_matrix
+
+    F = feat_desc.shape[0]
+    P = pt_desc.shape[0]
+    chunk = 8192
+    n_chunks = max(1, P // chunk)
+    big = jnp.int32(MAX_DIST + 1)
+
+    def body(carry, i):
+        best_d, best_i, second_d = carry
+        sl = jax.lax.dynamic_slice_in_dim(pt_desc, i * chunk, chunk, 0)
+        vl = jax.lax.dynamic_slice_in_dim(
+            pt_valid.astype(jnp.int32), i * chunk, chunk, 0
+        ).astype(bool)
+        d = hamming_matrix(feat_desc, sl)                     # [F, chunk]
+        d = jnp.where(vl[None, :], d, big)
+        c_best = jnp.argmin(d, axis=1)
+        c_bd = jnp.take_along_axis(d, c_best[:, None], 1)[:, 0]
+        d2 = d.at[jnp.arange(F), c_best].set(big)
+        c_sd = jnp.min(d2, axis=1)
+        # merge running best-2 with chunk best-2: the overall second-best
+        # of {a, b>=a, c, d>=c} is min(max(a, c), b, d)
+        new_second = jnp.minimum(
+            jnp.maximum(best_d, c_bd), jnp.minimum(second_d, c_sd)
+        )
+        take = c_bd < best_d
+        new_best = jnp.where(take, c_bd, best_d)
+        new_idx = jnp.where(take, c_best + i * chunk, best_i)
+        return (new_best, new_idx, new_second), None
+
+    init = (jnp.full((F,), big), jnp.zeros((F,), jnp.int32),
+            jnp.full((F,), big))
+    (best_d, best_i, second_d), _ = jax.lax.scan(
+        body, init, jnp.arange(n_chunks)
+    )
+    # NO best/second ratio test here: the map legitimately holds
+    # near-duplicate points (octave twins; revisit twins after capacity
+    # churn) whose descriptors tie for best — a ratio gate would reject
+    # exactly the true matches.  Precision comes from the geometric
+    # consensus (EPnP RANSAC / Horn Sim3) every caller runs next.
+    ok = feat_valid & (best_d <= TH_LOW)
+    return best_i, ok
+
+
+def relocalize_brute(m: MapState, frame: FrameState, config: SystemConfig,
+                     key) -> RelocResult:
+    """Vocabulary-free global relocalization — a TPU-native capability the
+    reference cannot afford: instead of the approximate BoW inverted file
+    (reference: src/orbkeyframedatabase.cpp:200-314), match the frame's
+    descriptors against EVERY map point by exact Hamming nearest neighbour
+    on the MXU (a [F,256]x[256,P] bit-dot, a few ms even at full
+    capacity), then EPnP RANSAC + pose optimization with the reference's
+    >=50-inlier acceptance (src/tracking.cpp:1322).  Used when the
+    BoW-indexed path fails (the online-trained vocabulary is far weaker
+    than the reference's offline ORBvoc)."""
+    cam = config.camera
+    feats = frame.features
+    best_pt, ok = _brute_match_points(
+        feats.desc, feats.valid, m.pt_desc, m.pt_valid
+    )
+    if int(jnp.sum(ok)) < MIN_BOW_MATCHES:
+        return RelocResult(False, None, None)
+    p_w = m.pt_pos[best_pt]
+    sigma2 = features_scale_sigma2(feats, config.orb.scale_factor)
+    res = pnp_ransac(
+        p_w, feats.xy, sigma2, ok, key,
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+    )
+    if int(res.n_inliers) < 10:
+        return RelocResult(False, None, None)
+    T0 = lie.make_T(res.R, res.t)
+    obs = PoseObs(
+        p_w=p_w, uv=feats.xy, u_right=feats.u_right,
+        sigma2=sigma2, valid=ok,
+    )
+    T_est, inliers, n_inl = pose_optimize(
+        T0, obs, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf
+    )
+    if int(n_inl) >= MIN_FINAL_INLIERS:
+        return RelocResult(True, T_est, jnp.where(ok & inliers, best_pt, -1))
+    return RelocResult(False, None, None)

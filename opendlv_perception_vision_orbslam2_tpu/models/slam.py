@@ -116,7 +116,11 @@ def _local_point_window(m: MapState, bindings):
         -1,
     )
     top_w, top_kfs = jax.lax.top_k(rank_score, N_LOCAL_KFS)
-    kf_ok = top_w >= 0
+    # zero-share keyframes join the window ONLY when nothing shares at all
+    # (the recovery fallback): admitting them alongside genuine covisible
+    # keyframes feeds the matcher aliased far-region points every frame
+    has_share = jnp.any(share > 0)
+    kf_ok = jnp.where(has_share, top_w >= (1 << 20), top_w >= 0)
 
     binds = m.kf_obs_point[top_kfs]                         # [NK, F]
     b_ok = m.kf_feat_valid[top_kfs] & (binds >= 0) & kf_ok[:, None]
@@ -134,7 +138,8 @@ def _local_point_window(m: MapState, bindings):
 
 
 def _search_local_points(m: MapState, local_pts, bindings, T_cw,
-                         cur_frame: FrameState, config: SystemConfig):
+                         cur_frame: FrameState, config: SystemConfig,
+                         radius_scale: float = 1.0):
     """Project unbound local points into the frame and match by descriptor
     (SearchLocalPoints + matcher SearchByProjection(frame, local map),
     reference: src/tracking.cpp:978-1029, src/orbmatcher.cpp:42-128).
@@ -178,7 +183,7 @@ def _search_local_points(m: MapState, local_pts, bindings, T_cw,
         jnp.ceil(jnp.log(ratio) / jnp.log(config.orb.scale_factor)).astype(jnp.int32),
         0, config.orb.n_levels - 1,
     )
-    radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * jnp.power(
+    radius = radius_scale * jnp.where(view_cos > 0.998, 2.5, 4.0) * jnp.power(
         jnp.float32(config.orb.scale_factor), pred_oct.astype(jnp.float32)
     )
 
@@ -443,6 +448,44 @@ def keyframe_stage(m: MapState, frame, bindings, config: SystemConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def _wide_recovery_program(m: MapState, cur: FrameState, T_guess, key,
+                           config: SystemConfig):
+    """Projection-based recovery rung: the reloc-by-projection matcher
+    (SearchByProjection reloc variant, reference: src/orbmatcher.cpp:
+    1485-1617) against the RECENT-keyframe window from the last good pose
+    with a wide radius, then the RANSAC-rescued pose solve.  Catches the
+    common loss mode — a few bad frames near mapped territory — without
+    needing BoW at all.  Returns (T, bindings, n_inliers)."""
+    from ..optim.pose_opt import PoseObs, robust_pose_estimate
+    from .frame import features_scale_sigma2
+
+    cam = config.camera
+    P = m.pt_capacity
+    F = cur.features.capacity
+    none = -jnp.ones((F,), jnp.int32)
+    local_pts = _local_point_window(m, none)   # recency-ranked window
+    bindings, _ = _search_local_points(
+        m, local_pts, none, T_guess, cur, config, radius_scale=8.0
+    )
+    bound = bindings >= 0
+    safe_b = jnp.clip(bindings, 0, P - 1)
+    sigma2 = features_scale_sigma2(cur.features, config.orb.scale_factor)
+    obs = PoseObs(
+        p_w=m.pt_pos[safe_b],
+        uv=cur.features.xy,
+        u_right=cur.features.u_right,
+        sigma2=sigma2,
+        valid=bound & m.pt_valid[safe_b] & cur.features.valid,
+    )
+    T, inliers, n_inl = robust_pose_estimate(
+        T_guess, obs, key,
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+    )
+    bindings = jnp.where(obs.valid & inliers, bindings, -1)
+    return T, bindings, n_inl
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def _track_ref_kf_program(m: MapState, kf_nodes, last_bindings,
                           cur: FrameState, cur_nodes, T_cw,
                           config: SystemConfig):
@@ -494,8 +537,13 @@ def rebase_pose(T_cur, T_kf_pre, T_kf_post):
     keyframe: keep the tracked relative pose cur<-KF, compose with the
     post-BA keyframe pose (the functional-map form of the reference tracker
     reading KF poses back through covisibility refs,
-    src/tracking.cpp:546-585)."""
-    return (T_cur @ lie.inv_T(T_kf_pre)) @ T_kf_post
+    src/tracking.cpp:546-585).  Degenerate inputs (non-finite or collapsed
+    rotation) leave the pose untouched instead of zeroing it."""
+    T = (T_cur @ lie.inv_T(T_kf_pre)) @ T_kf_post
+    ok = jnp.all(jnp.isfinite(T)) & (
+        jnp.abs(jnp.linalg.det(T[:3, :3]) - 1.0) < 0.1
+    )
+    return jnp.where(ok, T, T_cur)
 
 
 class StereoSlam:
@@ -703,6 +751,20 @@ class StereoSlam:
         self.lost = False
         return True
 
+    def _try_wide_recovery(self, cur: FrameState):
+        """Wide projection recovery from the last good pose (see
+        _wide_recovery_program).  Accepts at the TrackLocalMap threshold."""
+        self._reloc_key, sub = jax.random.split(self._reloc_key)
+        T, bindings, n_inl = _wide_recovery_program(
+            self.map, cur, self.T_cw, sub, self.config
+        )
+        if int(np.asarray(n_inl)) < MIN_INLIERS_MAP:
+            return False
+        self.T_cw = T
+        self.last_bindings = bindings
+        self.lost = False
+        return True
+
     def _try_relocalize(self, cur: FrameState):
         if not self.enable_relocalization or self.db is None:
             return False
@@ -713,6 +775,24 @@ class StereoSlam:
             self.map, self.db, self.kf_nodes, self.vocab, cur,
             self.config, sub,
         )
+        if res.success:
+            self.T_cw = res.T_cw
+            self.velocity = jnp.eye(4, dtype=jnp.float32)
+            self.last_bindings = res.bindings
+            self.lost = False
+            return True
+        return False
+
+    def _try_global_reloc(self, cur: FrameState):
+        """Vocabulary-free exact-NN relocalization over the whole map
+        (relocalize_brute) — the rung that works when the online-trained
+        BoW is too weak to rank candidates."""
+        if not self.enable_relocalization:
+            return False
+        from .relocalization import relocalize_brute
+
+        self._reloc_key, sub = jax.random.split(self._reloc_key)
+        res = relocalize_brute(self.map, cur, self.config, sub)
         if res.success:
             self.T_cw = res.T_cw
             self.velocity = jnp.eye(4, dtype=jnp.float32)
@@ -788,6 +868,13 @@ class StereoSlam:
         slot, kf_id, new_bindings = self._insert_only(frame, bindings)
         if self._kf_pending is None:
             self._dispatch_mapping(slot, kf_id)
+            if not getattr(self, "_pipeline_healthy", False):
+                # marginal tracking: settle the map NOW so the next frame
+                # tracks fully-triangulated/fused/refined geometry (the
+                # synchronous round-3 behaviour); async is a healthy-regime
+                # optimization
+                self._try_adopt_mapping(force=True)
+                return self.map.kf_obs_point[self.last_kf_slot]
         else:
             self._kf_queue.append({"frame": frame, "bindings": bindings,
                                    "kf_id": kf_id})
@@ -1065,9 +1152,22 @@ class StereoSlam:
         # the fetch for frame N-1 overlaps the device computing frame N, so
         # steady-state throughput is device-bound instead of paying a full
         # tunnel round-trip per frame on top of the compute.
+        # pose hygiene (device-side, fetched with the stats): finite entries
+        # and an orthonormal-ish rotation.  A degenerate pose (a NaN wiped
+        # to zeros somewhere upstream) must never be integrated — inv_T of
+        # a ~zero rotation silently zeroes every later rebase.  Valid poses
+        # are re-projected onto SE(3): composition chains (velocity priors,
+        # rebases) otherwise accumulate scale in R exponentially.
         T_new = out.T_cw
+        R = T_new[:3, :3]
+        pose_ok = jnp.all(jnp.isfinite(T_new)) & (
+            jnp.abs(jnp.linalg.det(R) - 1.0) < 0.1
+        )
+        T_new = jnp.where(
+            pose_ok, lie.orthonormalize_T(T_new), self.T_cw
+        )
         stats_dev = jnp.stack([
-            out.n_inliers.astype(jnp.int32),
+            out.n_inliers.astype(jnp.int32) * pose_ok.astype(jnp.int32),
             jnp.sum(out.bindings >= 0).astype(jnp.int32),
             out.n_tracked_close.astype(jnp.int32),
             out.n_untracked_close.astype(jnp.int32),
@@ -1091,12 +1191,14 @@ class StereoSlam:
         # decisions on a degrading tracker delay keyframes/recovery exactly
         # when a single frame matters.
         pend = getattr(self, "_decision_pending", None)
-        # Defer only with a LARGE tracking margin: deferral hides the device
-        # round-trip behind the next frame's compute, but it acts on
-        # one-frame-stale scalars and inserts the certified previous frame —
-        # on marginal tracking (fast rotation, sparse texture) that one
-        # frame is the difference between recovering and collapsing, so the
-        # gate is deliberately conservative (5x the lost threshold).
+        # Pipeline aggressiveness is gated on tracking margin: deferral and
+        # asynchronous mapping hide the device round-trip / stage latency,
+        # but they track against a not-yet-settled map on one-frame-stale
+        # decisions — on marginal tracking (fast rotation, sparse texture)
+        # that is the difference between recovering and collapsing.  The
+        # gate is deliberately conservative (5x the lost threshold); below
+        # it the scheduler degrades to the fully synchronous round-3
+        # semantics (settled map every frame).
         healthy = (
             not getattr(self, "force_sync_decisions", False)
             and self.n_keyframes > 5
@@ -1104,6 +1206,7 @@ class StereoSlam:
             and int(self.last_stats[0]) >= 5 * MIN_INLIERS_MAP
             and not self.lost
         )
+        self._pipeline_healthy = healthy
         if healthy:
             self._decision_pending = (stats_dev, T_before, bindings_before,
                                       frame_before)
@@ -1153,16 +1256,27 @@ class StereoSlam:
             + cfg.tracking.max_frames else MIN_INLIERS_MAP
         )
         self.lost = n_inl < min_inliers
+        if not self.lost:
+            # remember the last trustworthy inter-frame motion — the prior
+            # that carries the pose through outages below (orthonormalized:
+            # it gets composed repeatedly while dead-reckoning)
+            self._motion_prior = lie.orthonormalize_T(self.velocity)
         if self.lost:
             # recovery needs the settled map (and may rebuild trust in it)
             self._try_adopt_mapping(force=True)
             # The lost frame's estimate was integrated optimistically; roll
-            # the pose back to the last GOOD one before recovering, or the
-            # garbage compounds through velocity composition (the reference
-            # keeps the last good pose while LOST, src/tracking.cpp:266-276).
+            # it back, then DEAD-RECKON one step on the constant-velocity
+            # prior.  (The reference freezes the pose while LOST,
+            # src/tracking.cpp:266-276; freezing makes every recovery rung
+            # search ~N frames behind the real camera after an N-frame
+            # outage — the predicted pose keeps projection-based recovery
+            # and map continuation anchored near the truth.)
+            prior = getattr(self, "_motion_prior", None)
+            if prior is None:
+                prior = jnp.eye(4, dtype=jnp.float32)
             if T_last_good is not None:
-                self.T_cw = T_last_good
-            self.velocity = jnp.eye(4, dtype=jnp.float32)
+                self.T_cw = lie.orthonormalize_T(prior @ T_last_good)
+            self.velocity = prior
             cur = self.last_frame
             # the reference-keyframe vote must come from the last GENUINELY
             # tracked bindings — the current frame tracked from a bad pose
@@ -1172,14 +1286,45 @@ class StereoSlam:
                 self.last_bindings = bindings_good
             # fallback ladder (UpdatePoses dispatch, reference:
             # src/tracking.cpp:1538-1640): reference-KF BoW tracking, then
-            # full relocalization.
+            # full relocalization, then wide projection recovery (a
+            # beyond-reference rung: the trained-online vocabulary is far
+            # weaker than ORBvoc, so a geometry-first rung backstops BoW)
             if self._track_reference_keyframe(cur):
                 pass
             elif self._try_relocalize(cur):
                 self.last_reloc_frame = self.frame_idx
+            elif self._try_wide_recovery(cur):
+                self.last_reloc_frame = self.frame_idx
+            elif self._try_global_reloc(cur):
+                self.last_reloc_frame = self.frame_idx
             else:
                 self.last_bindings = cur_bindings
-            self.velocity = jnp.eye(4, dtype=jnp.float32)
+            self._lost_streak = (
+                getattr(self, "_lost_streak", 0) + 1 if self.lost else 0
+            )
+            # Map continuation (beyond-reference robustness, the idea behind
+            # ORB-SLAM3's Atlas): the reference stays LOST forever once
+            # relocalization keeps failing on a >5-keyframe map
+            # (src/tracking.cpp:305-313 only resets small maps).  After a
+            # sustained outage, re-bootstrap a NEW map region from stereo
+            # depth at the last good pose; the regions share one MapState
+            # and the loop closer can later stitch them.
+            if (self._lost_streak >= 8 and not self.tracking_only
+                    and self.config.camera_type != "mono"
+                    and not self.mapping_busy):
+                n_depth = int(jnp.sum(
+                    (cur.features.depth > 0) & cur.features.valid
+                ))
+                if n_depth >= 100:
+                    self.last_frame = cur._replace(T_cw=self.T_cw)
+                    self.last_bindings = self._dispatch_keyframe(
+                        self.last_frame,
+                        -jnp.ones((cur.features.capacity,), jnp.int32),
+                    )
+                    self.lost = False
+                    self._lost_streak = 0
+            # velocity stays on the dead-reckoning prior (set above) so the
+            # next frame's prediction keeps moving with the camera
             if self.last_frame is not None:
                 self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
             self.trajectory[-1] = self.T_cw

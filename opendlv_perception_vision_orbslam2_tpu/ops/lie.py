@@ -224,6 +224,23 @@ def project(pts_cam, fx, fy, cx, cy):
     return jnp.stack([u, v], axis=-1)
 
 
+def orthonormalize_T(T):
+    """Project the rotation block back onto SO(3) (Gram-Schmidt columns)
+    and return the cleaned SE(3).  Long chains of pose compositions
+    (velocity priors, rebases) accumulate scale in R — inv_T assumes an
+    orthonormal R, so the drift otherwise compounds exponentially."""
+    R = T[..., :3, :3]
+    x = R[..., :, 0]
+    x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    y = R[..., :, 1]
+    y = y - jnp.sum(x * y, axis=-1, keepdims=True) * x
+    y = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-12)
+    z = jnp.cross(x, y)
+    R_o = jnp.stack([x, y, z], axis=-1)
+    T_o = T.at[..., :3, :3].set(R_o)
+    return T_o
+
+
 def backproject(uv, depth, fx, fy, cx, cy):
     """Pixels + depth -> camera-frame 3D (OrbFrame::UnprojectStereo,
     reference: src/orbframe.cpp:730-744)."""

@@ -39,6 +39,12 @@ class GridBAProblem(NamedTuple):
 
     ``KW = KO + KFIX`` window keyframes (first ``KO`` optimizable), ``F``
     feature slots each, ``PL`` local points.
+
+    The SOLVE runs natively on the observation-table layout ``[PL, KW]``
+    (one slot per point x window-keyframe, measurements gathered once at
+    extract) — per-LM-iteration work is then pure elementwise math +
+    reductions, no gathers and no scatters.  The ``g_*`` grid views exist
+    for the final per-feature inlier gate (observation erasure).
     """
 
     T_all: jnp.ndarray      # [KW, 4, 4] window poses (first KO optimized)
@@ -52,6 +58,10 @@ class GridBAProblem(NamedTuple):
     g_sigma2: jnp.ndarray   # [KW, F]
     g_valid: jnp.ndarray    # [KW, F] bool
     obs_table: jnp.ndarray  # [PL, KW] int32 feature idx (-1 none)
+    o_uv: jnp.ndarray       # [PL, KW, 2] measured pixels per observation
+    o_ur: jnp.ndarray       # [PL, KW] right-u (<0 mono)
+    o_sigma2: jnp.ndarray   # [PL, KW]
+    o_valid: jnp.ndarray    # [PL, KW] bool
 
     @property
     def n_opt(self) -> int:
@@ -114,6 +124,43 @@ def _grid_chi2(r, sigma2, is_stereo):
     )
 
 
+def _obs_terms(T_all, pts, prob: GridBAProblem, fx, fy, cx, cy, bf):
+    """Residuals + Jacobians on the [PL, KW] observation layout — the
+    per-iteration workhorse, gather-free."""
+    R = T_all[:, :3, :3]                                  # [KW, 3, 3]
+    t = T_all[:, :3, 3]
+    p_c = jnp.einsum("wij,pj->pwi", R, pts) + t[None, :, :]  # [PL, KW, 3]
+    x, y, z = p_c[..., 0], p_c[..., 1], p_c[..., 2]
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+
+    u_hat = fx * x * inv_z + cx
+    v_hat = fy * y * inv_z + cy
+    ur_hat = u_hat - bf * inv_z
+    is_stereo = prob.o_ur >= 0
+    r = jnp.stack(
+        [
+            prob.o_uv[..., 0] - u_hat,
+            prob.o_uv[..., 1] - v_hat,
+            jnp.where(is_stereo, prob.o_ur - ur_hat, 0.0),
+        ],
+        axis=-1,
+    )                                                     # [PL, KW, 3]
+    zeros = jnp.zeros_like(z)
+    du = jnp.stack([fx * inv_z, zeros, -fx * x * inv_z2], axis=-1)
+    dv = jnp.stack([zeros, fy * inv_z, -fy * y * inv_z2], axis=-1)
+    dur = du + jnp.stack([zeros, zeros, bf * inv_z2], axis=-1)
+    d_pix = jnp.stack([du, dv, dur], axis=-2)             # [PL, KW, 3, 3]
+
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), p_c.shape + (3,))
+    d_pc = jnp.concatenate([I3, -lie.hat(p_c)], axis=-1)  # [PL, KW, 3, 6]
+    J_pose = -jnp.einsum("pwij,pwjl->pwil", d_pix, d_pc)
+    J_pt = -jnp.einsum("pwij,wjl->pwil", d_pix, R)
+    behind = z <= 1e-6
+    return r, J_pose, J_pt, is_stereo, behind
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("fx", "fy", "cx", "cy", "bf", "iters_first",
@@ -123,7 +170,8 @@ def bundle_adjust_grid(prob: GridBAProblem, *, fx: float, fy: float,
                        cx: float, cy: float, bf: float,
                        iters_first: int = 5, iters_second: int = 10):
     """Two-phase LM (5 its -> chi2 cut -> 10 its) like the reference
-    schedule (src/orboptimizer.cpp:681-730), scatter-free."""
+    schedule (src/orboptimizer.cpp:681-730), scatter- and gather-free in
+    the iteration loop."""
     KW, F = prob.g_pt.shape
     KO = prob.n_opt
     PL = prob.pts.shape[0]
@@ -131,24 +179,17 @@ def bundle_adjust_grid(prob: GridBAProblem, *, fx: float, fy: float,
     delta_mono = jnp.sqrt(CHI2_MONO)
     delta_stereo = jnp.sqrt(CHI2_STEREO)
 
-    obs_f = jnp.clip(prob.obs_table, 0, F - 1)           # [PL, KW]
     obs_ok = prob.obs_table >= 0
-    w_iota = jnp.arange(KW)
-
-    def gather_obs(grid):
-        """[KW, F, ...] -> [PL, KW, ...] along the observation table."""
-        return grid[w_iota[None, :], obs_f]
-
     free_row = jnp.concatenate(
         [prob.pose_free, jnp.zeros((KW - KO,), bool)]
     )                                                    # [KW]
 
     def robust_cost(T_opt, pts, active):
         T_all = jnp.concatenate([T_opt, T_fix], axis=0)
-        r, _, _, is_stereo, behind = _grid_terms(
+        r, _, _, is_stereo, behind = _obs_terms(
             T_all, pts, prob, fx, fy, cx, cy, bf
         )
-        chi2 = _grid_chi2(r, prob.g_sigma2, is_stereo)
+        chi2 = _grid_chi2(r, prob.o_sigma2, is_stereo)
         d2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
         c = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * chi2) - d2)
         c = jnp.where(behind, 2.0 * jnp.sqrt(d2 * 1e8), c)
@@ -158,37 +199,33 @@ def bundle_adjust_grid(prob: GridBAProblem, *, fx: float, fy: float,
         def body(carry, _):
             T_opt, pts, lam, prev_cost = carry
             T_all = jnp.concatenate([T_opt, T_fix], axis=0)
-            r, J_pose, J_pt, is_stereo, behind = _grid_terms(
+            r, Jp_t, Jl_t, is_stereo, behind = _obs_terms(
                 T_all, pts, prob, fx, fy, cx, cy, bf
             )
             ok = active & (~behind)
             chi = jnp.sqrt(jnp.maximum(
-                _grid_chi2(r, prob.g_sigma2, is_stereo), 1e-12
+                _grid_chi2(r, prob.o_sigma2, is_stereo), 1e-12
             ))
             delta = jnp.where(is_stereo, delta_stereo, delta_mono)
             huber_w = jnp.where(chi <= delta, 1.0, delta / chi)
-            w = jnp.where(ok, huber_w / prob.g_sigma2, 0.0)
-            row_w = jnp.stack(
+            w = jnp.where(ok, huber_w / prob.o_sigma2, 0.0)
+            w_t = jnp.stack(
                 [jnp.ones_like(w), jnp.ones_like(w),
                  jnp.where(is_stereo, 1.0, 0.0)], axis=-1
-            ) * w[..., None]                             # [KW, F, 3]
+            ) * w[..., None]                             # [PL, KW, 3]
 
-            # pose blocks: plain reductions over the feature axis
-            wJp = J_pose * (row_w * free_row[:, None, None])[..., None]
-            Hpp = jnp.einsum("wfri,wfrj->wij", wJp, J_pose)[:KO]
-            b_p = -jnp.einsum("wfri,wfr->wi", wJp, r)[:KO]
+            r_t = r
+            # pose blocks: reduce over the point axis per window KF
+            w_free = w_t * free_row[None, :, None]
+            wJp_t = Jp_t * w_free[..., None]
+            Hpp = jnp.einsum("pwri,pwrj->wij", wJp_t, Jp_t)[:KO]
+            b_p = -jnp.einsum("pwri,pwr->wi", wJp_t, r_t)[:KO]
 
-            # landmark blocks: gather each point's <=KW observations
-            Jl_t = gather_obs(J_pt)                      # [PL, KW, 3, 3]
-            Jp_t = gather_obs(J_pose)                    # [PL, KW, 3, 6]
-            r_t = gather_obs(r)                          # [PL, KW, 3]
-            w_t = gather_obs(row_w) * obs_ok[..., None]  # [PL, KW, 3]
+            # landmark blocks: reduce over the window axis per point
             wJl = Jl_t * w_t[..., None]
             Hll = jnp.einsum("pwri,pwrj->pij", wJl, Jl_t)
             b_l = -jnp.einsum("pwri,pwr->pi", wJl, r_t)
             # coupling W[k, p] only over optimizable poses
-            w_free = w_t * free_row[None, :, None]
-            wJp_t = Jp_t * w_free[..., None]
             Hpl = jnp.einsum("pwri,pwrj->pwij", wJp_t, Jl_t)[:, :KO]
 
             # damping + freezing
@@ -248,31 +285,38 @@ def bundle_adjust_grid(prob: GridBAProblem, *, fx: float, fy: float,
         )
         return T_opt, pts, cost
 
-    PLm1 = PL - 1
     base_active = (
-        prob.g_valid
-        & (prob.g_pt >= 0) & (prob.g_pt < PLm1 + 1)
-        & jnp.take(prob.pt_valid, jnp.clip(prob.g_pt, 0, PLm1))
-        & prob.kf_valid[:, None]
+        obs_ok & prob.o_valid
+        & prob.pt_valid[:, None]
+        & prob.kf_valid[None, :]
     )
     T_opt0 = prob.T_all[:KO]
     T_opt, pts, _ = lm_phase(T_opt0, prob.pts, base_active, iters_first)
 
     # chi2 outlier cut between phases
     T_all = jnp.concatenate([T_opt, T_fix], axis=0)
-    r, _, _, is_stereo, behind = _grid_terms(
+    r, _, _, is_stereo, behind = _obs_terms(
         T_all, pts, prob, fx, fy, cx, cy, bf
     )
-    chi2 = _grid_chi2(r, prob.g_sigma2, is_stereo)
+    chi2 = _grid_chi2(r, prob.o_sigma2, is_stereo)
     th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     active = base_active & (chi2 <= th) & (~behind)
 
     T_opt, pts, cost = lm_phase(T_opt, pts, active, iters_second)
 
+    # final PER-FEATURE inlier gate on the [KW, F] grid (drives observation
+    # erasure in the caller) — one grid evaluation after the solve
     T_all = jnp.concatenate([T_opt, T_fix], axis=0)
-    r, _, _, is_stereo, behind = _grid_terms(
+    rg, _, _, st_g, behind_g = _grid_terms(
         T_all, pts, prob, fx, fy, cx, cy, bf
     )
-    chi2 = _grid_chi2(r, prob.g_sigma2, is_stereo)
-    inlier = base_active & (chi2 <= th) & (~behind)
+    chi2_g = _grid_chi2(rg, prob.g_sigma2, st_g)
+    th_g = jnp.where(st_g, CHI2_STEREO, CHI2_MONO)
+    g_active = (
+        prob.g_valid
+        & jnp.take(prob.pt_valid, jnp.clip(prob.g_pt, 0, PL - 1))
+        & prob.kf_valid[:, None]
+    )
+    inlier = g_active & (chi2_g <= th_g) & (~behind_g)
+    cost = robust_cost(T_opt, pts, active)
     return GridBAResult(T_opt=T_opt, pts=pts, grid_inlier=inlier, cost=cost)
