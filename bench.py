@@ -77,14 +77,19 @@ def main():
     # previous round on the same machine) populates it, so the end-of-round
     # bench doesn't depend on the remote compile helper being healthy — the
     # tunnel wedge that forced round 1's CPU fallback hit exactly that path.
-    try:
-        cache_dir = os.environ.get(
-            "ORBSLAM2_TPU_COMPILE_CACHE", "/root/.orbslam2_tpu_jax_cache"
-        )
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception as e:  # cache support is best-effort
-        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+    # TPU only: XLA:CPU AOT cache entries are not portable across machine
+    # types (the loader warns of feature mismatches up to SIGILL)
+    if not cpu_fallback:
+        try:
+            cache_dir = os.environ.get(
+                "ORBSLAM2_TPU_COMPILE_CACHE", "/root/.orbslam2_tpu_jax_cache"
+            )
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+        except Exception as e:  # cache support is best-effort
+            print(f"compilation cache unavailable: {e}", file=sys.stderr)
 
     from opendlv_perception_vision_orbslam2_tpu.models.frontend import process_stereo
     from opendlv_perception_vision_orbslam2_tpu.models.tracking import (

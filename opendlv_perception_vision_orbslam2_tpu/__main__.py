@@ -24,8 +24,30 @@ Optional: --cameraType=stereo|mono|rgbd --vocFilePath=<ORBvoc.txt>
 """
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: a production run's warm start is
+    dominated by (re)compiles; the cache turns them into disk loads."""
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # XLA:CPU AOT cache entries are not portable across machine types
+        return
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("ORBSLAM2_TPU_COMPILE_CACHE",
+                           "/root/.orbslam2_tpu_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    _enable_compile_cache()
     flags = parse_flags(argv)
     required = ("cid", "name", "width", "height", "bpp")
     if "kittiPath" not in flags and not all(k in flags for k in required):

@@ -546,9 +546,21 @@ class LoopCloser:
 
         cands_d, scores = loop_candidates(m, db, kf_slot)
         safe_c = jnp.clip(cands_d, 0, m.kf_capacity - 1)
-        cands_np, n_valid, kf_ids, covis_rows = jax.device_get((
+        # the geometric query is DISPATCHED here so its result rides the
+        # same host fetch as the BoW candidates — one device round-trip per
+        # registration (each separate fetch costs a full tunnel RTT)
+        self._geo_tick = getattr(self, "_geo_tick", 0) + 1
+        run_geo = (getattr(self, "geometric_detection", True)
+                   and self._geo_tick % 3 == 0)
+        if run_geo:
+            self.key, sub = jax.random.split(self.key)
+            geo_d = _geometric_loop_query(m, kf_slot, sub, self.config)
+        else:
+            geo_d = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        cands_np, n_valid, kf_ids, covis_rows, geo = jax.device_get((
             cands_d, jnp.sum(m.kf_valid), m.kf_id,
             m.covis[safe_c] > 0,                      # [n_cand, K] bool
+            geo_d,
         ))
         if int(n_valid) < 10:
             return m, False, None
@@ -579,22 +591,16 @@ class LoopCloser:
         else:
             self.prev_groups, self.prev_counts = [], []
 
-        if getattr(self, "geometric_detection", True) and int(n_valid) >= 20:
-            # geometric channel: exact-NN place recognition with EPnP
-            # consensus.  It runs ALONGSIDE the BoW channel and takes
-            # precedence when strong: on self-similar scenes the BoW
-            # 3-consecutive consistency gate can pass for consistently
-            # WRONG candidates, and after capacity eviction the true region
-            # may exist only as re-anchored points no BoW row can name.
-            # The geometric consensus IS the verification (the Sim3
-            # pipeline below still applies its own >=20/>=40 gates).
-            self.key, sub = jax.random.split(self.key)
-            n_inl_d, owner_d, votes_d = _geometric_loop_query(
-                m, kf_slot, sub, self.config
-            )
-            g = jax.device_get((n_inl_d, owner_d, votes_d))
-            if int(g[0]) >= 40 and int(g[2]) >= 20:
-                accepted = int(g[1])
+        if run_geo and int(n_valid) >= 20:
+            # geometric channel (fetched above): exact-NN keyframe voting.
+            # It runs alongside BoW and takes precedence when strong: on
+            # self-similar scenes the BoW 3-consecutive consistency gate
+            # can pass for consistently WRONG candidates, and after
+            # capacity eviction the true region may exist only as
+            # re-anchored points no BoW row can name.  The Sim3 pipeline
+            # below still applies its own >=20/>=40 verification gates.
+            if int(geo[0]) >= 40 and int(geo[2]) >= 20:
+                accepted = int(geo[1])
         if accepted is None:
             return m, False, None
 
