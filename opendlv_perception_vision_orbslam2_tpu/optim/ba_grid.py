@@ -171,7 +171,9 @@ def bundle_adjust_grid(prob: GridBAProblem, *, fx: float, fy: float,
                        iters_first: int = 5, iters_second: int = 10):
     """Two-phase LM (5 its -> chi2 cut -> 10 its) like the reference
     schedule (src/orboptimizer.cpp:681-730), scatter- and gather-free in
-    the iteration loop."""
+    the iteration loop.  (A 4+8 trim was A/B'd on v5e but the tunnel's
+    round-trip variance confounded the comparison; the reference-faithful
+    schedule is kept.)"""
     KW, F = prob.g_pt.shape
     KO = prob.n_opt
     PL = prob.pts.shape[0]
