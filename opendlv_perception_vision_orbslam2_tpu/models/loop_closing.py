@@ -40,6 +40,7 @@ MIN_LOOP_INLIERS = 20       # reference: src/loopclosing.cpp:344
 MIN_LOOP_TOTAL = 40         # region-projection gate (reference: :391-397)
 ESSENTIAL_COVIS_MIN = 100   # strong-edge weight (reference: src/orboptimizer.cpp:962)
 N_SIM3_HYPOTHESES = 128
+GEO_VOTE_MIN = 40           # exact-NN votes to accept a geometric candidate
 
 
 @jax.jit
@@ -363,15 +364,18 @@ def compute_loop_transform(m: MapState, kf_nodes, cur_slot, cand_slot, key,
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _geometric_loop_query(m: MapState, kf_slot, key, config: SystemConfig):
-    """Vocabulary-free loop detection query (TPU-native): exact-NN Hamming
-    match of the keyframe's descriptors against every map point OUTSIDE its
-    covisible region (one MXU bit-dot), EPnP-RANSAC consensus on the
-    matches, and a vote for the old keyframe observing most inliers.
+    """Vocabulary-free loop CANDIDATE query (TPU-native): exact-NN Hamming
+    match of the keyframe's descriptors against every OLD keyframe's
+    descriptors (one MXU bit-dot) and a vote for the keyframe owning the
+    most nearest neighbours.  This is candidate NOMINATION by appearance
+    votes only — geometric verification is deliberately left to the Sim3
+    pipeline every candidate must pass (Horn RANSAC >=20 inliers, GN
+    refine, >=40 region-projection matches, compute_loop_transform).
 
     The reference can only afford an approximate BoW inverted file for this
     (src/orbkeyframedatabase.cpp:70-198); with the brute matcher the weak
     online-trained vocabulary stops being a single point of failure for
-    loop closure.  Returns (n_inliers, owner_slot, owner_votes).
+    loop closure.  Returns (n_votes, owner_slot).
     """
     from .relocalization import _brute_match_points
 
@@ -399,7 +403,7 @@ def _geometric_loop_query(m: MapState, kf_slot, key, config: SystemConfig):
     votes = jnp.where(old_kf & (jnp.arange(K) != kf_slot), votes, 0)
     owner = jnp.argmax(votes)
     n_votes = votes[owner]
-    return n_votes, owner, n_votes
+    return n_votes, owner
 
 
 class EssentialEdges(NamedTuple):
@@ -528,22 +532,19 @@ class LoopCloser:
         # reference's detached GBA thread semantics (P2)
         self.defer_gba = False
 
-    def on_keyframe(self, m: MapState, db: KeyFrameDatabase, kf_nodes,
-                    kf_slot: int, kf_id: int | None = None):
-        """Returns (map, loop_closed: bool, T_corrected_cur or None).
-
-        ``kf_id``: the keyframe's stable id when the caller knows it (the
-        host scheduler tracks insertion order), saving a device read.  All
-        remaining per-keyframe reads batch into ONE transfer — on a
-        tunneled TPU each separate fetch costs a full RTT, and the round-3
-        code paid five plus a [K,K] covisibility download per keyframe.
-        """
-        if kf_id is None:
-            kf_id = int(m.kf_id[kf_slot])
+    def dispatch(self, m: MapState, db: KeyFrameDatabase, kf_nodes,
+                 kf_slot: int, kf_id: int):
+        """Launch the detection queries for a new keyframe WITHOUT reading
+        anything back.  Returns an opaque pending dict (or None when
+        detection is skipped); pass it to :meth:`harvest` once
+        ``pending["ready"]()`` — the staged-pipeline analogue of the
+        reference's LoopClosing thread consuming its keyframe queue
+        asynchronously (reference: src/loopclosing.cpp:49-83).  The
+        blocking ``jax.device_get`` used to cost a full tunnel RTT (~50 ms)
+        of host time per registration on the tracking path."""
         # skip if <10 KFs since last loop (reference: src/loopclosing.cpp:104)
         if kf_id - self.last_loop_kf_id < 10:
-            return m, False, None
-
+            return None
         cands_d, scores = loop_candidates(m, db, kf_slot)
         safe_c = jnp.clip(cands_d, 0, m.kf_capacity - 1)
         # the geometric query is DISPATCHED here so its result rides the
@@ -556,12 +557,43 @@ class LoopCloser:
             self.key, sub = jax.random.split(self.key)
             geo_d = _geometric_loop_query(m, kf_slot, sub, self.config)
         else:
-            geo_d = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
-        cands_np, n_valid, kf_ids, covis_rows, geo = jax.device_get((
+            geo_d = (jnp.int32(0), jnp.int32(0))
+        handles = (
             cands_d, jnp.sum(m.kf_valid), m.kf_id,
             m.covis[safe_c] > 0,                      # [n_cand, K] bool
             geo_d,
-        ))
+        )
+        return {
+            "handles": handles, "kf_slot": kf_slot, "kf_id": kf_id,
+            "run_geo": run_geo,
+            "ready": lambda: cands_d.is_ready(),
+        }
+
+    def on_keyframe(self, m: MapState, db: KeyFrameDatabase, kf_nodes,
+                    kf_slot: int, kf_id: int | None = None):
+        """Synchronous detect + close (dispatch + forced harvest) — the
+        bootstrap/tests/mono path.  Returns
+        (map, loop_closed: bool, T_corrected_cur or None)."""
+        if kf_id is None:
+            kf_id = int(m.kf_id[kf_slot])
+        pending = self.dispatch(m, db, kf_nodes, kf_slot, kf_id)
+        if pending is None:
+            return m, False, None
+        return self.harvest(pending, m, kf_nodes)
+
+    def harvest(self, pending, m: MapState, kf_nodes):
+        """Fetch a dispatched detection, run the host-side consistency
+        logic, and (rarely) the Sim3 solve + loop correction.  ``m`` is the
+        CURRENT map — it may have advanced since dispatch (keyframes
+        culled/evicted); stale slots are revalidated against the snapshot
+        ids before any correction is applied.  Returns
+        (map, loop_closed, T_corrected_cur or None)."""
+        kf_slot = pending["kf_slot"]
+        kf_id = pending["kf_id"]
+        run_geo = pending["run_geo"]
+        cands_np, n_valid, kf_ids, covis_rows, geo = jax.device_get(
+            pending["handles"]
+        )
         if int(n_valid) < 10:
             return m, False, None
         cand_rows = {
@@ -597,11 +629,26 @@ class LoopCloser:
             # self-similar scenes the BoW 3-consecutive consistency gate
             # can pass for consistently WRONG candidates, and after
             # capacity eviction the true region may exist only as
-            # re-anchored points no BoW row can name.  The Sim3 pipeline
-            # below still applies its own >=20/>=40 verification gates.
-            if int(geo[0]) >= 40 and int(geo[2]) >= 20:
+            # re-anchored points no BoW row can name.  Vote counting alone
+            # is NOT geometric verification — that happens below, where
+            # every candidate (BoW or geometric) must survive the Horn
+            # RANSAC >=20-inlier and >=40-region-projection gates of the
+            # Sim3 pipeline (compute_loop_transform).
+            if int(geo[0]) >= GEO_VOTE_MIN:
                 accepted = int(geo[1])
         if accepted is None:
+            return m, False, None
+
+        # revalidate against the CURRENT map: the detection ran on a
+        # snapshot, and culling/eviction since may have recycled either
+        # slot — a recycled slot would splice an unrelated keyframe into
+        # the loop edge (one small fetch, acceptance is rare)
+        alive = jax.device_get((
+            m.kf_valid[kf_slot], m.kf_id[kf_slot],
+            m.kf_valid[accepted], m.kf_id[accepted],
+        ))
+        if not (bool(alive[0]) and int(alive[1]) == kf_id
+                and bool(alive[2]) and int(alive[3]) == int(kf_ids[accepted])):
             return m, False, None
 
         self.key, sub = jax.random.split(self.key)

@@ -93,8 +93,16 @@ def _brute_match_points(feat_desc, feat_valid, pt_desc, pt_valid):
 
     F = feat_desc.shape[0]
     P = pt_desc.shape[0]
-    chunk = 8192
-    n_chunks = max(1, P // chunk)
+    # chunking must cover EVERY point for ANY capacity: chunk=min(8192, P)
+    # and ceil-div, with the tail padded invalid (a fixed 8192/floor-div pair
+    # raised a trace error for P < 8192 and silently skipped the tail
+    # P % 8192 points otherwise — advisor r4 finding)
+    chunk = min(8192, P)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    if pad:
+        pt_desc = jnp.pad(pt_desc, ((0, pad), (0, 0)))
+        pt_valid = jnp.pad(pt_valid, (0, pad))
     big = jnp.int32(MAX_DIST + 1)
 
     def body(carry, i):

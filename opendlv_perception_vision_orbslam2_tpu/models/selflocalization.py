@@ -27,7 +27,6 @@ from ..utils import trajectory as traj_utils
 from ..utils import wgs84
 from ..utils.config import SystemConfig
 from .slam import StereoSlam
-from .tracking import StereoVisualOdometry
 
 
 def pose_to_geolocation(T, ref_latitude: float, ref_longitude: float,
@@ -55,13 +54,17 @@ class Selflocalization:
                  tracking_only: bool = False):
         self.config = config
         self.od4 = od4 or NullSession()
-        if tracking_only:
-            self.slam = StereoVisualOdometry(config)
-        elif config.camera_type == "mono":
+        if config.camera_type == "mono":
             from .mono_slam import MonocularSlam
             self.slam = MonocularSlam(config, vocab=vocab)
         else:
-            self.slam = StereoSlam(config, vocab=vocab)
+            # tracking_only maps to the reference's localization-only mode
+            # (mbOnlyTracking with the mbVO dual hypothesis,
+            # reference: src/tracking.cpp:1538-1640): frozen map +
+            # per-frame relocalization, NOT the map-less VO slice
+            # (StereoVisualOdometry remains available for benchmarks).
+            self.slam = StereoSlam(config, vocab=vocab,
+                                   tracking_only=tracking_only)
         self.frame_count = 0
         self.latencies: list[float] = []
         self.map_sizes: list[int] = []

@@ -110,9 +110,13 @@ def _local_point_window(m: MapState, bindings):
         False,
     ) & m.kf_valid[:, None]
     share = jnp.sum(sees, axis=1)
+    # packed (share, recency) rank in int32: share clipped to 2^11-1 and id
+    # to 2^20-1 so the packed value provably fits (share=2048 at F=2048
+    # overflowed to a negative score — advisor r4 finding)
     rank_score = jnp.where(
         m.kf_valid,
-        share * (1 << 20) + jnp.maximum(m.kf_id, 0),
+        jnp.minimum(share, (1 << 11) - 1) * (1 << 20)
+        + jnp.clip(m.kf_id, 0, (1 << 20) - 1),
         -1,
     )
     top_w, top_kfs = jax.lax.top_k(rank_score, N_LOCAL_KFS)
@@ -204,11 +208,20 @@ def _search_local_points(m: MapState, local_pts, bindings, T_cw,
     best = jnp.argmin(d, axis=1)
     best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
     d2 = d.at[jnp.arange(PL), best].set(big)
-    second = jnp.min(d2, axis=1)
-    # ratio test 0.8 + TH_HIGH (reference: src/orbmatcher.cpp:109-123)
-    good = (best_d <= TH_HIGH) & (
+    second_idx = jnp.argmin(d2, axis=1)
+    second = jnp.take_along_axis(d2, second_idx[:, None], axis=1)[:, 0]
+    # ratio test 0.8 + TH_HIGH, applied ONLY when best and second sit at
+    # the same pyramid level (reference: src/orbmatcher.cpp:105-123 —
+    # `if(bestLevel==bestLevel2 && bestDist>mfNNratio*bestDist2) continue`);
+    # an unconditional ratio dropped ~30% of true matches on scenes with
+    # cross-octave descriptor twins (measured: 268 vs 382 bindings)
+    same_level = jnp.take(feats.octave, best) == jnp.take(
+        feats.octave, second_idx
+    )
+    ratio_ok = (~same_level) | (
         best_d.astype(jnp.float32) <= 0.8 * second.astype(jnp.float32)
     )
+    good = (best_d <= TH_HIGH) & ratio_ok
     pm = matching.resolve_duplicate_targets(
         matching.ProjectionMatches(dst_idx=best, dist=best_d, valid=good),
         feats.capacity,
@@ -310,6 +323,32 @@ def apply_point_counters(m: MapState, vis_delta, found_delta) -> MapState:
         pt_visible=m.pt_visible + vis_delta,
         pt_found=m.pt_found + found_delta,
     )
+
+
+@jax.jit
+def adoption_fixup(m: MapState, pt_id_pre, vis_delta, found_delta,
+                   bindings):
+    """Reconcile tracker state with an async mapping stage's output.
+
+    While the stage was in flight the tracker formed bindings (and
+    visible/found deltas) against the INTERIM map; a point the stage
+    culled whose slot was reallocated by same-stage triangulation would
+    leave a binding silently pointing at different geometry (validity
+    masks cannot catch slot reuse — advisor r4 finding).  Point identity =
+    ``pt_first_kf_id`` per slot (same check as IncrementalGBA.merge): a
+    cull + realloc within one stage always changes it, because culling
+    only touches points >=2 keyframes old while triangulation stamps the
+    current keyframe id.  Deltas and bindings on identity-changed slots
+    are dropped."""
+    same = pt_id_pre == m.pt_first_kf_id                   # [P]
+    m = apply_point_counters(
+        m,
+        jnp.where(same, vis_delta, 0),
+        jnp.where(same, found_delta, 0),
+    )
+    safe = jnp.clip(bindings, 0, m.pt_capacity - 1)
+    keep = (bindings >= 0) & jnp.take(same & m.pt_valid, safe)
+    return m, jnp.where(keep, bindings, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -605,6 +644,7 @@ class StereoSlam:
         self.loop_closer = None
         self.loops_closed = 0
         self.pending_gba = None   # in-flight incremental post-loop GBA
+        self._loop_pending = None  # in-flight async loop-detection fetch
         self._reloc_key = jax.random.PRNGKey(11)
 
     # one-time vocabulary retrain once this many keyframes of descriptors
@@ -697,25 +737,48 @@ class StereoSlam:
         self.db = self.db._replace(has_row=self.db.has_row & self.map.kf_valid)
 
         if self.enable_loop_closing and self.loop_closer is not None:
-            T_kf_pre = self.map.kf_T_cw[slot]
-            self.map, closed, T_corr = self.loop_closer.on_keyframe(
-                self.map, self.db, self.kf_nodes, slot, kf_id=kf_id
+            # harvest any in-flight detection first (its snapshot is one
+            # keyframe old — the reference's LoopClosing thread lags its
+            # queue the same way), then dispatch the new keyframe's queries
+            # WITHOUT blocking: the fetch result is consumed on a later
+            # frame (_try_harvest_loop), so the ~50 ms tunnel RTT the old
+            # synchronous device_get cost per registration leaves the
+            # tracking path entirely.
+            self._try_harvest_loop(force=True)
+            self._loop_pending = self.loop_closer.dispatch(
+                self.map, self.db, self.kf_nodes, slot, kf_id
             )
-            if closed:
-                self.loops_closed += 1
-                # ride the correction: keep the tracked cur<-KF relative pose
-                self.T_cw = rebase_pose(
-                    self.T_cw, T_kf_pre, self.map.kf_T_cw[slot]
-                )
-                if self.last_frame is not None:
-                    self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
-                self.velocity = jnp.eye(4, dtype=jnp.float32)
-                # schedule the full-map refinement incrementally; a newer
-                # closure aborts (drops) any in-flight solve (reference:
-                # src/loopclosing.cpp:409-420 mbStopGBA)
-                from .global_ba import IncrementalGBA
 
-                self.pending_gba = IncrementalGBA(self.map, self.config)
+    def _try_harvest_loop(self, force: bool = False):
+        """Consume a finished loop-detection dispatch (non-blocking unless
+        ``force``); on an accepted closure apply the correction + schedule
+        the incremental GBA."""
+        pend = getattr(self, "_loop_pending", None)
+        if pend is None or self.loop_closer is None:
+            return
+        if not force and not pend["ready"]():
+            return
+        self._loop_pending = None
+        slot = pend["kf_slot"]
+        T_kf_pre = self.map.kf_T_cw[slot]
+        self.map, closed, T_corr = self.loop_closer.harvest(
+            pend, self.map, self.kf_nodes
+        )
+        if closed:
+            self.loops_closed += 1
+            # ride the correction: keep the tracked cur<-KF relative pose
+            self.T_cw = rebase_pose(
+                self.T_cw, T_kf_pre, self.map.kf_T_cw[slot]
+            )
+            if self.last_frame is not None:
+                self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
+            self.velocity = jnp.eye(4, dtype=jnp.float32)
+            # schedule the full-map refinement incrementally; a newer
+            # closure aborts (drops) any in-flight solve (reference:
+            # src/loopclosing.cpp:409-420 mbStopGBA)
+            from .global_ba import IncrementalGBA
+
+            self.pending_gba = IncrementalGBA(self.map, self.config)
 
     def _service_gba(self):
         """One bounded GBA chunk per frame; merge on completion (the
@@ -850,6 +913,9 @@ class StereoSlam:
         self._kf_pending = {
             "map": m_new, "aux": aux, "slot": slot, "kf_id": kf_id,
             "T_kf_pre": self.map.kf_T_cw[slot],
+            # interim-map point identities for the adoption-time binding
+            # reconciliation (adoption_fixup)
+            "pt_id_pre": self.map.pt_first_kf_id,
         }
         P = self.map.pt_capacity
         self._pending_vis = jnp.zeros((P,), jnp.int32)
@@ -897,8 +963,19 @@ class StereoSlam:
         self._kf_pending = None
         m = pend["map"]
         # re-apply tracking's visible/found deltas accumulated in flight
-        # (deltas on points the stage culled/merged land on invalid slots)
-        m = apply_point_counters(m, self._pending_vis, self._pending_found)
+        # and drop bindings/deltas whose point identity changed across the
+        # stage (cull + same-stage slot reuse, see adoption_fixup)
+        bindings = (
+            self.last_bindings
+            if self.last_bindings is not None
+            else -jnp.ones((m.feat_capacity,), jnp.int32)
+        )
+        m, bindings = adoption_fixup(
+            m, pend["pt_id_pre"], self._pending_vis, self._pending_found,
+            bindings,
+        )
+        if self.last_bindings is not None:
+            self.last_bindings = bindings
         self._pending_vis = self._pending_found = None
         # rebase the tracker onto the post-BA keyframe pose
         T_kf_post = m.kf_T_cw[pend["slot"]]
@@ -995,6 +1072,7 @@ class StereoSlam:
             self._handle_decision(np.asarray(stats_dev), T_before, binds,
                                   frame)
         self._try_adopt_mapping(force=True)
+        self._try_harvest_loop(force=True)
         while self.pending_gba is not None:
             self._service_gba()
 
@@ -1027,6 +1105,7 @@ class StereoSlam:
         self.kf_nodes = None
         self.loop_closer = None
         self.pending_gba = None
+        self._loop_pending = None
 
     def process(self, img_left, img_right, timestamp: float = 0.0):
         cfg = self.config
@@ -1062,10 +1141,11 @@ class StereoSlam:
         c2:  real degradation vs the reference KF (<thRefRatio, 0.4 for a
              2-KF map else 0.75 stereo) or close starvation — AND >15
              matches so a dying tracker never spawns keyframes.
-        Busy discipline: when the mapping stage is in flight the insertion
-        is skipped (the reference interrupts BA and only queues when fewer
-        than 3 keyframes wait, :884-893; our queue capacity is 1 in-flight
-        stage, so busy == queue full — documented divergence).
+        Busy discipline: with a mapping stage in flight, stereo/RGB-D
+        keyframes may still QUEUE while fewer than ``KF_QUEUE_CAP`` wait
+        (the reference interrupts BA and queues while fewer than 3 wait,
+        :884-893); queued keyframes are replayed at adoption with local BA
+        skipped (InterruptBA semantics).  Monocular never queues.
         Post-relocalization window: no insertions within max_frames of a
         reloc while the map has more keyframes than that (reference: :820).
         """
@@ -1107,6 +1187,11 @@ class StereoSlam:
         self.frame_idx += 1
         # adopt a finished async mapping stage before tracking (non-blocking)
         self._try_adopt_mapping()
+        # harvest loop detection only on a settled map: an in-flight
+        # mapping stage's output replaces self.map wholesale at adoption,
+        # which would silently erase a just-applied loop correction
+        if not self.mapping_busy and not self._kf_queue:
+            self._try_harvest_loop()
         # auto-reset if lost right after bootstrap (reference:
         # src/tracking.cpp:305-313: lost with <=5 keyframes => full reset)
         if self.lost and self.last_frame is not None and self.n_keyframes <= 5:
@@ -1319,7 +1404,20 @@ class StereoSlam:
                 n_depth = int(jnp.sum(
                     (cur.features.depth > 0) & cur.features.valid
                 ))
-                if n_depth >= 100:
+                # same capacity guard as _need_new_keyframe: this path
+                # bypasses the admission check, and on a full top-bucket
+                # map the insert's argmin slot allocation would overwrite
+                # slot 0, the gauge anchor (advisor r4 finding)
+                est_kf = self._occ[0] + getattr(self, "_inserts_since_occ", 0)
+                if n_depth >= 100 and est_kf >= self.map.kf_capacity - 1:
+                    from .map_state import evict_oldest_if_full
+
+                    for _ in range(3):
+                        self.map = evict_oldest_if_full(self.map, min_free=3)
+                    est_kf = int(np.asarray(jnp.sum(self.map.kf_valid)))
+                    self._occ = (est_kf, self._occ[1])
+                    self._inserts_since_occ = 0
+                if n_depth >= 100 and est_kf < self.map.kf_capacity - 1:
                     self.last_frame = cur._replace(T_cw=self.T_cw)
                     self.last_bindings = self._dispatch_keyframe(
                         self.last_frame,

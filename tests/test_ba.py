@@ -164,3 +164,131 @@ def test_ba_no_behind_camera_escape():
         z = (pt_c := p @ T[:3, :3].T + T[:3, 3])[2]
         assert z > 0.5, f"point escaped behind camera: z={z}"
     assert np.linalg.norm(p - pt[0]) < 8.0, p
+
+
+def _make_grid_problem(seed=0, kw=6, ko=4, n_pts=256, noise_px=0.4,
+                       pose_noise=0.03, pt_noise=0.10):
+    """Dense-grid BA problem (observation-table layout) vs ground truth."""
+    from opendlv_perception_vision_orbslam2_tpu.optim.ba_grid import (
+        GridBAProblem,
+    )
+
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [rng.uniform(-12, 12, n_pts), rng.uniform(-4, 4, n_pts),
+         rng.uniform(6, 40, n_pts)], axis=-1,
+    ).astype(np.float32)
+    T_gt = []
+    for i in range(kw):
+        xi = np.zeros(6, np.float32)
+        xi[2] = -0.6 * i
+        T_gt.append(np.asarray(lie.exp_se3(jnp.asarray(xi))))
+    T_gt = np.stack(T_gt)
+
+    F = n_pts  # one feature slot per point for simplicity
+    o_uv = np.zeros((n_pts, kw, 2), np.float32)
+    o_ur = -np.ones((n_pts, kw), np.float32)
+    o_valid = np.zeros((n_pts, kw), bool)
+    obs_table = -np.ones((n_pts, kw), np.int32)
+    g_pt = -np.ones((kw, F), np.int32)
+    g_uv = np.zeros((kw, F, 2), np.float32)
+    g_ur = -np.ones((kw, F), np.float32)
+    g_valid = np.zeros((kw, F), bool)
+    for k in range(kw):
+        p_c = pts @ T_gt[k, :3, :3].T + T_gt[k, :3, 3]
+        vis = p_c[:, 2] > 1.0
+        u = CAM["fx"] * p_c[:, 0] / p_c[:, 2] + CAM["cx"]
+        v = CAM["fy"] * p_c[:, 1] / p_c[:, 2] + CAM["cy"]
+        ur = u - CAM["bf"] / p_c[:, 2]
+        for j in np.where(vis)[0]:
+            uu = u[j] + rng.normal(0, noise_px)
+            vv = v[j] + rng.normal(0, noise_px)
+            qq = (ur[j] + rng.normal(0, noise_px)
+                  if rng.uniform() < 0.7 else -1.0)
+            o_uv[j, k] = (uu, vv)
+            o_ur[j, k] = qq
+            o_valid[j, k] = True
+            obs_table[j, k] = j
+            g_pt[k, j] = j
+            g_uv[k, j] = (uu, vv)
+            g_ur[k, j] = qq
+            g_valid[k, j] = True
+
+    T0 = np.stack([
+        np.asarray(lie.exp_se3(jnp.asarray(
+            (rng.standard_normal(6) * pose_noise).astype(np.float32))))
+        @ T_gt[k]
+        for k in range(kw)
+    ])
+    T0[0] = T_gt[0]
+    # fixed observers keep their TRUE poses (they anchor the gauge)
+    T0[ko:] = T_gt[ko:]
+    pts0 = pts + rng.standard_normal(pts.shape).astype(np.float32) * pt_noise
+
+    prob = GridBAProblem(
+        T_all=jnp.asarray(T0),
+        kf_valid=jnp.ones((kw,), bool),
+        pose_free=jnp.ones((ko,), bool).at[0].set(False),
+        pts=jnp.asarray(pts0),
+        pt_valid=jnp.ones((n_pts,), bool),
+        g_pt=jnp.asarray(g_pt),
+        g_uv=jnp.asarray(g_uv),
+        g_ur=jnp.asarray(g_ur),
+        g_sigma2=jnp.ones((kw, F)),
+        g_valid=jnp.asarray(g_valid),
+        obs_table=jnp.asarray(obs_table),
+        o_uv=jnp.asarray(o_uv),
+        o_ur=jnp.asarray(o_ur),
+        o_sigma2=jnp.ones((n_pts, kw)),
+        o_valid=jnp.asarray(o_valid),
+    )
+    return prob, T_gt, pts
+
+
+def test_bundle_adjust_grid_converges_to_ground_truth():
+    """The scalarized grid solver recovers poses and points from a
+    perturbed initialization (same accuracy contract as the edge-list
+    solver's test above)."""
+    from opendlv_perception_vision_orbslam2_tpu.optim.ba_grid import (
+        bundle_adjust_grid,
+    )
+
+    prob, T_gt, pts_gt = _make_grid_problem()
+    res = bundle_adjust_grid(prob, **CAM)
+    T_est = np.asarray(res.T_opt)
+    ko = prob.n_opt
+    # pose error well below the injected 0.03 perturbation
+    for k in range(ko):
+        dT = np.linalg.inv(T_gt[k]) @ T_est[k]
+        assert np.linalg.norm(dT[:3, 3]) < 8e-3, (k, dT[:3, 3])
+        assert abs(np.trace(dT[:3, :3]) - 3.0) < 1e-4
+    # depth-relative landmark accuracy at the noise floor (same bound as
+    # the edge-list solver's test above: forward motion constrains depth
+    # weakly, so absolute error grows with distance)
+    pt_err = np.linalg.norm(np.asarray(res.pts) - pts_gt, axis=-1)
+    assert float(np.median(pt_err / pts_gt[:, 2])) < 0.02
+    # inlier gate keeps the (outlier-free) observations
+    assert int(np.asarray(res.grid_inlier).sum()) > 0.9 * int(
+        np.asarray(prob.g_valid).sum()
+    )
+
+
+def test_bundle_adjust_grid_respects_masks():
+    """Frozen poses must not move; invalid points must not move."""
+    from opendlv_perception_vision_orbslam2_tpu.optim.ba_grid import (
+        bundle_adjust_grid,
+    )
+
+    prob, T_gt, pts_gt = _make_grid_problem(seed=3)
+    pt_valid = np.asarray(prob.pt_valid).copy()
+    pt_valid[:20] = False
+    prob = prob._replace(pt_valid=jnp.asarray(pt_valid))
+    res = bundle_adjust_grid(prob, **CAM)
+    # gauge-pinned pose 0 unchanged
+    np.testing.assert_allclose(
+        np.asarray(res.T_opt)[0], np.asarray(prob.T_all)[0], atol=1e-7
+    )
+    # invalid points unchanged
+    np.testing.assert_allclose(
+        np.asarray(res.pts)[:20], np.asarray(prob.pts)[:20], atol=1e-7
+    )
