@@ -563,6 +563,11 @@ class LoopCloser:
             m.covis[safe_c] > 0,                      # [n_cand, K] bool
             geo_d,
         )
+        # start the device->host copies now: harvest then reads local data
+        # instead of paying a tunnel RTT per array
+        from ..utils.host import prefetch_to_host
+
+        prefetch_to_host(*jax.tree.leaves(handles))
         return {
             "handles": handles, "kf_slot": kf_slot, "kf_id": kf_id,
             "run_geo": run_geo,

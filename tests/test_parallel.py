@@ -53,7 +53,8 @@ def test_sharded_pose_gn_matches_truth():
     solve = make_sharded_pose_optimizer(mesh, "obs", **CAM, n_iters=10)
     d = jnp.asarray(np.array([0.1, -0.05, 0.1, 0.01, 0.01, -0.02], np.float32))
     T0 = lie.exp_se3(d) @ jnp.asarray(T_true)
-    T_est, n_inl = solve(T0, obs)
+    T_est, inliers, n_inl = solve(T0, obs)
+    assert int(n_inl) > 0.9 * n
 
     err = np.asarray(lie.log_se3(jnp.asarray(T_true) @ lie.inv_T(T_est)))
     assert np.linalg.norm(err[:3]) < 1e-3
