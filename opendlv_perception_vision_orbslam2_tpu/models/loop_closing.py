@@ -513,6 +513,45 @@ def correct_loop(m: MapState, cur_slot, cand_slot, T_loop, s_loop,
     return m._replace(covis=recompute_covisibility(m))
 
 
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def verify_and_apply(m: MapState, kf_nodes, cur_slot, cand_slot,
+                     expect_cur_id, expect_cand_id, key,
+                     config: SystemConfig, fix_scale: bool = True):
+    """ONE device program: Sim3 verification (Horn RANSAC -> SearchBySim3
+    growth -> GN refine -> region gate) + masked loop application.
+
+    The correction applies ONLY when verification succeeds AND both slots
+    still hold the keyframes the detection named (slot recycling check done
+    ON DEVICE — the host never has to block on a revalidation fetch).
+    Returns (map', valid, T_kf_pre, T_kf_post); with ``valid`` False the
+    map is returned unchanged, so the caller can adopt the output
+    optimistically and fetch ``valid`` lazily — the staged analogue of the
+    reference running ComputeSim3+CorrectLoop on the LoopClosing thread
+    (src/loopclosing.cpp:228-266, 400-585) off the tracking path."""
+    lm = compute_loop_transform(
+        m, kf_nodes, cur_slot, cand_slot, key, config, fix_scale
+    )
+    valid = (
+        lm.ok
+        & m.kf_valid[cur_slot] & (m.kf_id[cur_slot] == expect_cur_id)
+        & m.kf_valid[cand_slot] & (m.kf_id[cand_slot] == expect_cand_id)
+    )
+    T_pre = m.kf_T_cw[cur_slot]
+
+    def do_apply(mm):
+        from .map_state import add_loop_edge
+
+        mm = correct_loop(mm, cur_slot, cand_slot, lm.T_rel, lm.s_rel,
+                          fix_scale=fix_scale)
+        return add_loop_edge(
+            mm, jnp.asarray(cur_slot, jnp.int32),
+            jnp.asarray(cand_slot, jnp.int32), lm.T_rel, lm.s_rel,
+        )
+
+    m2 = jax.lax.cond(valid, do_apply, lambda mm: mm, m)
+    return m2, valid, T_pre, m2.kf_T_cw[cur_slot]
+
+
 class LoopCloser:
     """Host-side detection state machine (consistency groups across
     consecutive keyframes, reference: src/loopclosing.cpp:150-211)."""
@@ -563,15 +602,17 @@ class LoopCloser:
             m.covis[safe_c] > 0,                      # [n_cand, K] bool
             geo_d,
         )
-        # start the device->host copies now: harvest then reads local data
-        # instead of paying a tunnel RTT per array
-        from ..utils.host import prefetch_to_host
+        # fetch on a daemon thread: the blocking device_get (on the
+        # tunneled TPU, copy_to_host_async is not honored promptly and a
+        # harvest-time read paid ~5 RTTs = ~113 ms measured) happens off
+        # the tracking path entirely; harvest reads the finished tuple
+        from ..utils.host import bg_fetch
 
-        prefetch_to_host(*jax.tree.leaves(handles))
+        fut = bg_fetch(jax.device_get, handles)
         return {
-            "handles": handles, "kf_slot": kf_slot, "kf_id": kf_id,
+            "future": fut, "kf_slot": kf_slot, "kf_id": kf_id,
             "run_geo": run_geo,
-            "ready": lambda: cands_d.is_ready(),
+            "ready": fut.done,
         }
 
     def on_keyframe(self, m: MapState, db: KeyFrameDatabase, kf_nodes,
@@ -586,21 +627,18 @@ class LoopCloser:
             return m, False, None
         return self.harvest(pending, m, kf_nodes)
 
-    def harvest(self, pending, m: MapState, kf_nodes):
-        """Fetch a dispatched detection, run the host-side consistency
-        logic, and (rarely) the Sim3 solve + loop correction.  ``m`` is the
-        CURRENT map — it may have advanced since dispatch (keyframes
-        culled/evicted); stale slots are revalidated against the snapshot
-        ids before any correction is applied.  Returns
-        (map, loop_closed, T_corrected_cur or None)."""
+    def harvest_detect(self, pending):
+        """Consume a finished detection fetch: the host-side consistency
+        logic over the fetched numpy data ONLY — no device reads at all.
+        Returns None or an accepted-candidate tuple
+        ``(kf_slot, kf_id, cand_slot, cand_id)`` for the verification
+        stage (:func:`verify_and_apply`)."""
         kf_slot = pending["kf_slot"]
         kf_id = pending["kf_id"]
         run_geo = pending["run_geo"]
-        cands_np, n_valid, kf_ids, covis_rows, geo = jax.device_get(
-            pending["handles"]
-        )
+        cands_np, n_valid, kf_ids, covis_rows, geo = pending["future"].result()
         if int(n_valid) < 10:
-            return m, False, None
+            return None
         cand_rows = {
             int(c): covis_rows[i] for i, c in enumerate(cands_np) if c >= 0
         }
@@ -642,38 +680,27 @@ class LoopCloser:
             if int(geo[0]) >= GEO_VOTE_MIN:
                 accepted = int(geo[1])
         if accepted is None:
-            return m, False, None
+            return None
+        return kf_slot, kf_id, accepted, int(kf_ids[accepted])
 
-        # revalidate against the CURRENT map: the detection ran on a
-        # snapshot, and culling/eviction since may have recycled either
-        # slot — a recycled slot would splice an unrelated keyframe into
-        # the loop edge (one small fetch, acceptance is rare)
-        alive = jax.device_get((
-            m.kf_valid[kf_slot], m.kf_id[kf_slot],
-            m.kf_valid[accepted], m.kf_id[accepted],
-        ))
-        if not (bool(alive[0]) and int(alive[1]) == kf_id
-                and bool(alive[2]) and int(alive[3]) == int(kf_ids[accepted])):
+    def harvest(self, pending, m: MapState, kf_nodes):
+        """Synchronous detect + verify + apply — the bootstrap/tests/mono
+        path (the staged pipeline calls :meth:`harvest_detect` and runs
+        :func:`verify_and_apply` asynchronously instead).  Slot recycling
+        is revalidated ON DEVICE inside the masked apply.  Returns
+        (map, loop_closed, T_corrected_cur or None)."""
+        det = self.harvest_detect(pending)
+        if det is None:
             return m, False, None
-
+        kf_slot, kf_id, cand_slot, cand_id = det
         self.key, sub = jax.random.split(self.key)
-        lm = compute_loop_transform(
-            m, kf_nodes, kf_slot, accepted, sub, self.config,
-            self.fix_scale,
+        m2, valid, _, _ = verify_and_apply(
+            m, kf_nodes, kf_slot, cand_slot, kf_id, cand_id, sub,
+            self.config, self.fix_scale,
         )
-        if not bool(lm.ok):
+        if not bool(valid):
             return m, False, None
-
-        m = correct_loop(m, kf_slot, accepted, lm.T_rel, lm.s_rel,
-                         fix_scale=self.fix_scale)
-        # persist the accepted loop edge for every later essential-graph
-        # solve (reference: src/orbkeyframe.cpp:458-470)
-        from .map_state import add_loop_edge
-
-        m = add_loop_edge(
-            m, jnp.asarray(kf_slot, jnp.int32),
-            jnp.asarray(accepted, jnp.int32), lm.T_rel, lm.s_rel,
-        )
+        m = m2
         # full-map refinement (RunGlobalBundleAdjustment, reference:
         # src/loopclosing.cpp:645-750: GBA with 10 iterations after a loop);
         # deferred mode hands this to the caller's incremental scheduler

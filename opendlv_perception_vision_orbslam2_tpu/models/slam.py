@@ -28,7 +28,6 @@ from ..ops import lie, matching
 from ..ops.hamming import MAX_DIST, TH_HIGH, hamming_matrix
 from ..optim.pose_opt import PoseObs, pose_optimize, robust_pose_estimate
 from ..utils.config import SystemConfig
-from ..utils.host import prefetch_to_host
 from .frame import FrameState, features_scale_sigma2
 from .frontend import process_stereo
 from .fusion import run_fusion
@@ -655,7 +654,9 @@ class StereoSlam:
         self.loop_closer = None
         self.loops_closed = 0
         self.pending_gba = None   # in-flight incremental post-loop GBA
-        self._loop_pending = None  # in-flight async loop-detection fetch
+        self._loop_pending: list = []  # FIFO of in-flight loop-detection fetches
+        self._verify_pending = None    # in-flight Sim3 verification verdict
+        self._verify_todo = None       # accepted candidate awaiting dispatch
         self._reloc_key = jax.random.PRNGKey(11)
         # P8: with more than one device the per-frame local-map pose solve
         # runs observation-sharded over the full mesh (the same switch the
@@ -723,25 +724,31 @@ class StereoSlam:
         due = getattr(self, "_next_vocab_refresh", self.VOCAB_REFRESH_AT)
         if self.n_keyframes < due:
             return
-        m = self.map
-        kf_valid = np.asarray(m.kf_valid)
-        live = np.nonzero(kf_valid)[0]
-        if live.size == 0:
-            return
-        rng = np.random.default_rng(int(due))
-        sel = (live if live.size <= self.VOCAB_POOL_KFS
-               else rng.choice(live, self.VOCAB_POOL_KFS, replace=False))
-        descs = np.asarray(m.kf_desc[jnp.asarray(sel)])
-        feat_ok = np.asarray(m.kf_feat_valid[jnp.asarray(sel)])
-        pool = descs[feat_ok]
-        if len(pool) < 1000:
-            return
+        # snapshot DEVICE handles only; the worker thread pays the pool
+        # fetch (up to ~2 MB of descriptors over the tunnel) and the
+        # k-means — the tracking path just starts the thread
+        kf_desc, kf_feat_valid, kf_valid = (
+            self.map.kf_desc, self.map.kf_feat_valid, self.map.kf_valid,
+        )
         self._next_vocab_refresh = max(due * 4, self.n_keyframes + 1)
         seed = int(due)
+        pool_cap = self.VOCAB_POOL_KFS
 
         def work():
             from . import vocabulary as voc
 
+            live = np.nonzero(np.asarray(kf_valid))[0]
+            if live.size == 0:
+                return
+            rng = np.random.default_rng(seed)
+            sel = (live if live.size <= pool_cap
+                   else rng.choice(live, pool_cap, replace=False))
+            sel_d = jnp.asarray(np.sort(sel))
+            descs = np.asarray(kf_desc[sel_d])
+            feat_ok = np.asarray(kf_feat_valid[sel_d])
+            pool = descs[feat_ok]
+            if len(pool) < 1000:
+                return
             self._vocab_result = voc.train_vocabulary(
                 pool, branching=10, levels=4, seed=seed
             )
@@ -752,7 +759,9 @@ class StereoSlam:
 
     def _adopt_vocab(self, vocab):
         """Swap in a freshly trained vocabulary: rebuild the database rows
-        and node tables for every live keyframe with batched scatters."""
+        and node tables for every live keyframe in ONE batched device
+        dispatch (padded vocabularies share compiled programs, so this
+        costs no recompilation after the first refresh)."""
         from . import vocabulary as voc
         from .kfdb import empty_kfdb
 
@@ -762,22 +771,21 @@ class StereoSlam:
         self.kf_nodes = -jnp.ones(
             (m.kf_capacity, self.config.orb.max_keypoints), jnp.int32
         )
-        slots = np.nonzero(np.asarray(m.kf_valid))[0]
-        if slots.size == 0:
-            return
-        rows, nodes_l = [], []
-        for slot in slots:
-            words, nodes = voc.transform(
-                vocab, m.kf_desc[int(slot)], m.kf_feat_valid[int(slot)]
-            )
-            rows.append(voc.bow_vector(vocab, words))
-            nodes_l.append(nodes)
-        idx = jnp.asarray(slots)
+        words, nodes = voc.transform_all(vocab, m.kf_desc, m.kf_feat_valid)
+        rows = voc.bow_vectors(vocab, words)
+        live = m.kf_valid
         self.db = self.db._replace(
-            bow=self.db.bow.at[idx].set(jnp.stack(rows)),
-            has_row=self.db.has_row.at[idx].set(True),
+            bow=jnp.where(live[:, None], rows, 0.0),
+            has_row=live,
         )
-        self.kf_nodes = self.kf_nodes.at[idx].set(jnp.stack(nodes_l))
+        self.kf_nodes = jnp.where(live[:, None], nodes, -1)
+
+    def _bg_fetch(self, fn, *args):
+        """Run a blocking device->host fetch on a daemon thread; returns a
+        Future (see utils.host.bg_fetch for the daemon-vs-pool rationale)."""
+        from ..utils.host import bg_fetch
+
+        return bg_fetch(fn, *args)
 
     def _register_keyframe(self, slot: int, kf_id: int):
         """BoW row + node table + loop detection for a new keyframe.
@@ -812,48 +820,107 @@ class StereoSlam:
         self.db = self.db._replace(has_row=self.db.has_row & self.map.kf_valid)
 
         if self.enable_loop_closing and self.loop_closer is not None:
-            # harvest any in-flight detection first (its snapshot is one
-            # keyframe old — the reference's LoopClosing thread lags its
-            # queue the same way), then dispatch the new keyframe's queries
-            # WITHOUT blocking: the fetch result is consumed on a later
-            # frame (_try_harvest_loop), so the ~50 ms tunnel RTT the old
-            # synchronous device_get cost per registration leaves the
-            # tracking path entirely.
-            self._try_harvest_loop(force=True)
-            self._loop_pending = self.loop_closer.dispatch(
+            # dispatch the new keyframe's queries WITHOUT blocking: results
+            # queue up and are consumed on later frames (_try_harvest_loop)
+            # strictly when their device values are ready.  Forcing the
+            # previous harvest here used to DRAIN the whole device pipeline
+            # (everything enqueued behind the detection programs) once per
+            # keyframe — measured ~38 ms/frame of median latency on the
+            # loop-drive bench; the reference's LoopClosing thread lags its
+            # queue the same way (src/loopclosing.cpp:49-83).
+            pend = self.loop_closer.dispatch(
                 self.map, self.db, self.kf_nodes, slot, kf_id
             )
+            if pend is not None:
+                self._loop_pending.append(pend)
 
     def _try_harvest_loop(self, force: bool = False):
-        """Consume a finished loop-detection dispatch (non-blocking unless
-        ``force``); on an accepted closure apply the correction + schedule
-        the incremental GBA."""
-        pend = getattr(self, "_loop_pending", None)
-        if pend is None or self.loop_closer is None:
-            return
-        if not force and not pend["ready"]():
-            return
-        self._loop_pending = None
-        slot = pend["kf_slot"]
-        T_kf_pre = self.map.kf_T_cw[slot]
-        self.map, closed, T_corr = self.loop_closer.harvest(
-            pend, self.map, self.kf_nodes
-        )
-        if closed:
-            self.loops_closed += 1
-            # ride the correction: keep the tracked cur<-KF relative pose
-            self.T_cw = rebase_pose(
-                self.T_cw, T_kf_pre, self.map.kf_T_cw[slot]
-            )
-            if self.last_frame is not None:
-                self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
-            self.velocity = jnp.eye(4, dtype=jnp.float32)
-            # schedule the full-map refinement incrementally; a newer
-            # closure aborts (drops) any in-flight solve (reference:
-            # src/loopclosing.cpp:409-420 mbStopGBA)
-            from .global_ba import IncrementalGBA
+        """Drive the staged loop-closing pipeline without blocking (unless
+        ``force``):
 
-            self.pending_gba = IncrementalGBA(self.map, self.config)
+        1. consume finished detection fetches (host consistency logic on
+           numpy data — :meth:`LoopCloser.harvest_detect`);
+        2. on an accepted candidate, dispatch the Sim3 verification +
+           masked apply as ONE device program (verify_and_apply) and adopt
+           its output optimistically — with a failed verification the
+           program returns the map unchanged, so nothing on the host ever
+           waits for the verdict;
+        3. consume the verdict lazily (worker-thread fetch) to bump
+           counters / schedule the incremental GBA.
+
+        The reference runs the same three phases on its LoopClosing thread
+        (src/loopclosing.cpp:49-83); here the device pipeline is the
+        "thread" and the host only ever touches finished fetches."""
+        if self.loop_closer is None:
+            return
+        # ---- 3: consume a finished verification verdict ------------------
+        vp = self._verify_pending
+        if vp is not None and (force or vp["fetch"].done()):
+            self._verify_pending = None
+            if bool(vp["fetch"].result()):
+                self.loops_closed += 1
+                self.loop_closer.last_loop_kf_id = vp["kf_id"]
+                self.loop_closer.prev_groups = []
+                self.loop_closer.prev_counts = []
+                self._verify_todo = None  # superseded by the closure
+                # drop queued detections: their snapshots predate the
+                # correction and the 10-keyframe cooldown skips them anyway
+                self._loop_pending.clear()
+                # schedule the full-map refinement incrementally; a newer
+                # closure aborts (drops) any in-flight solve (reference:
+                # src/loopclosing.cpp:409-420 mbStopGBA)
+                from .global_ba import IncrementalGBA
+
+                self.pending_gba = IncrementalGBA(self.map, self.config)
+        # ---- 1: consume finished detections ------------------------------
+        while self._loop_pending:
+            pend = self._loop_pending[0]
+            if not force and not pend["ready"]():
+                break
+            self._loop_pending.pop(0)
+            det = self.loop_closer.harvest_detect(pend)
+            if det is not None:
+                # cooldown may have been consumed lazily above
+                if det[1] - self.loop_closer.last_loop_kf_id >= 10:
+                    self._verify_todo = det  # latest nomination wins
+            if not force:
+                break
+        # ---- 2: dispatch a pending verification when the pipeline allows -
+        # (an in-flight mapping stage's adoption would overwrite the
+        # verified map; a second in-flight verify would fork it)
+        if (self._verify_todo is not None and self._kf_pending is None
+                and self._verify_pending is None):
+            det, self._verify_todo = self._verify_todo, None
+            self._dispatch_verify(det)
+            if force:
+                self._try_harvest_loop(force=True)
+
+    def _dispatch_verify(self, det):
+        """Launch verify_and_apply for an accepted loop candidate and adopt
+        its (masked) output: map, rebased pose and velocity are all device
+        values — consistency never waits on the host verdict."""
+        from .loop_closing import verify_and_apply
+
+        kf_slot, kf_id, cand_slot, cand_id = det
+        lc = self.loop_closer
+        lc.key, sub = jax.random.split(lc.key)
+        m2, valid, T_pre, T_post = verify_and_apply(
+            self.map, self.kf_nodes, kf_slot, cand_slot, kf_id, cand_id,
+            sub, self.config, lc.fix_scale,
+        )
+        self.map = m2
+        # ride the correction: keep the tracked cur<-KF relative pose
+        T_reb = rebase_pose(self.T_cw, T_pre, T_post)
+        self.T_cw = jnp.where(valid, lie.orthonormalize_T(T_reb), self.T_cw)
+        self.velocity = jnp.where(
+            valid, jnp.eye(4, dtype=jnp.float32), self.velocity
+        )
+        if self.last_frame is not None:
+            self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
+        self._verify_pending = {
+            "kf_id": kf_id,
+            "fetch": self._bg_fetch(jax.device_get, valid),
+        }
 
     def _service_gba(self):
         """One bounded GBA chunk per frame; merge on completion (the
@@ -991,9 +1058,11 @@ class StereoSlam:
             # interim-map point identities for the adoption-time binding
             # reconciliation (adoption_fixup)
             "pt_id_pre": self.map.pt_first_kf_id,
+            # fetch on the worker thread: copy_to_host_async is not honored
+            # promptly by the tunneled backend, so an adoption-time
+            # np.asarray still paid a full RTT per read (~25 ms each)
+            "fetch": self._bg_fetch(jax.device_get, (aux, slot)),
         }
-        # start the device->host copies now so adoption reads are local
-        prefetch_to_host(aux, slot)
         P = self.map.pt_capacity
         self._pending_vis = jnp.zeros((P,), jnp.int32)
         self._pending_found = jnp.zeros((P,), jnp.int32)
@@ -1034,8 +1103,7 @@ class StereoSlam:
         if self._kf_pending is None:
             return
         pend = self._kf_pending
-        probe = pend["map"].kf_T_cw
-        if not force and not probe.is_ready():
+        if not force and not pend["fetch"].done():
             return
         self._kf_pending = None
         m = pend["map"]
@@ -1060,13 +1128,12 @@ class StereoSlam:
         if self.last_frame is not None:
             self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
         self.map = m
-        # both reads were prefetched at dispatch (copy_to_host_async), so
-        # they cost a local copy, not a tunnel RTT each
-        stats = np.asarray(pend["aux"])
+        # both reads arrive via the worker-thread fetch started at dispatch
+        stats, slot_np = pend["fetch"].result()
         self.ref_kf_tracked = max(int(stats[0]), 1)
         self._occ = (int(stats[1]), int(stats[2]))
         self._inserts_since_occ = len(self._kf_queue)
-        slot = int(np.asarray(pend["slot"]))
+        slot = int(slot_np)
         self.last_kf_slot = slot
         self._maybe_resize(extra_kf=len(self._kf_queue))
         self._register_keyframe(slot, pend["kf_id"])
@@ -1143,9 +1210,9 @@ class StereoSlam:
         src/selflocalization.cpp:560-570).  Call before reading final map /
         trajectory state."""
         if self._decision_pending is not None:
-            stats_dev, T_before, binds, frame = self._decision_pending
+            stats_fut, T_before, binds, frame = self._decision_pending
             self._decision_pending = None
-            self._handle_decision(np.asarray(stats_dev), T_before, binds,
+            self._handle_decision(stats_fut.result(), T_before, binds,
                                   frame)
         self._try_adopt_mapping(force=True)
         self._try_harvest_loop(force=True)
@@ -1181,7 +1248,9 @@ class StereoSlam:
         self.kf_nodes = None
         self.loop_closer = None
         self.pending_gba = None
-        self._loop_pending = None
+        self._loop_pending = []
+        self._verify_pending = None
+        self._verify_todo = None
 
     def process(self, img_left, img_right, timestamp: float = 0.0):
         cfg = self.config
@@ -1337,9 +1406,6 @@ class StereoSlam:
             out.n_tracked_close.astype(jnp.int32),
             out.n_untracked_close.astype(jnp.int32),
         ])
-        # start the stats copy now: the deferred decision reads it next
-        # frame as a local copy instead of a blocking tunnel RTT
-        prefetch_to_host(stats_dev)
         T_before = self.T_cw
         bindings_before = self.last_bindings
         frame_before = self.last_frame
@@ -1364,8 +1430,10 @@ class StereoSlam:
         # but they track against a not-yet-settled map on one-frame-stale
         # decisions — on marginal tracking (fast rotation, sparse texture)
         # that is the difference between recovering and collapsing.  The
-        # gate is deliberately conservative (5x the lost threshold); below
-        # it the scheduler degrades to the fully synchronous round-3
+        # gate is deliberately conservative (5x the lost threshold; a 2x
+        # experiment on the loop-drive bench lost 7 frames and tripled
+        # ATE — the sync fallback genuinely carries the marginal regime).
+        # Below it the scheduler degrades to the fully synchronous round-3
         # semantics (settled map every frame).
         healthy = (
             not getattr(self, "force_sync_decisions", False)
@@ -1376,10 +1444,14 @@ class StereoSlam:
         )
         self._pipeline_healthy = healthy
         if healthy:
-            self._decision_pending = (stats_dev, T_before, bindings_before,
-                                      frame_before)
+            # the stats fetch rides the worker thread; next frame's
+            # deferred decision reads a finished numpy array
+            self._decision_pending = (
+                self._bg_fetch(np.asarray, stats_dev), T_before,
+                bindings_before, frame_before,
+            )
             if pend is not None:
-                self._handle_decision(np.asarray(pend[0]), pend[1], pend[2],
+                self._handle_decision(pend[0].result(), pend[1], pend[2],
                                       pend[3])
         else:
             # sync mode: the current frame's scalars supersede any deferred

@@ -119,14 +119,34 @@ def train_vocabulary(descs: np.ndarray, branching: int = 8, levels: int = 3,
     # idf weights (DBoW2 TF_IDF default)
     sizes = np.maximum(np.asarray(leaf_sizes, np.float64), 1.0)
     idf = np.log(len(bits) / sizes).astype(np.float32)
+    # PAD to the full-tree static shape: every retrained vocabulary of the
+    # same (branching, levels) then shares ONE compiled program inventory —
+    # transform/bow_vector here, and every [K, W]-shaped database/query
+    # program downstream (kfdb, loop_candidates).  Unpadded, each periodic
+    # refresh produced a new data-dependent (n_nodes, W) and recompiled the
+    # whole place-recognition stack mid-drive (measured: ~3.7 s stalls at
+    # the 8- and 32-keyframe refreshes).  Padding is inert: padded nodes
+    # are unreachable (children=-1), padded words have weight 0 and no
+    # feature ever maps to them.
+    n_full = sum(branching ** i for i in range(levels + 1))
+    w_full = branching ** levels
+    node_arr = _pack_bits_np(np.stack(node_desc))
+    node_pad = np.zeros((n_full, node_arr.shape[1]), node_arr.dtype)
+    node_pad[:n_nodes] = node_arr
+    ch_pad = -np.ones((n_full, branching), np.int32)
+    ch_pad[:n_nodes] = ch
+    nw_pad = -np.ones((n_full,), np.int32)
+    nw_pad[:n_nodes] = np.asarray(node_word, np.int32)
+    idf_pad = np.zeros((w_full,), np.float32)
+    idf_pad[:W] = idf
     return Vocabulary(
-        node_desc=jnp.asarray(_pack_bits_np(np.stack(node_desc))),
-        children=jnp.asarray(ch),
-        node_word=jnp.asarray(np.asarray(node_word, np.int32)),
-        word_weight=jnp.asarray(idf),
+        node_desc=jnp.asarray(node_pad),
+        children=jnp.asarray(ch_pad),
+        node_word=jnp.asarray(nw_pad),
+        word_weight=jnp.asarray(idf_pad),
         levels=levels,
         branching=branching,
-        n_words=W,
+        n_words=w_full,
     )
 
 
@@ -197,8 +217,7 @@ def _jit_with_static_vocab(fn):
     return wrapped
 
 
-@_jit_with_static_vocab
-def transform(vocab: Vocabulary, desc, valid):
+def _transform_impl(vocab: Vocabulary, desc, valid):
     """Descend the tree for all features at once.
 
     Returns ``(word_ids [F] int32, node_path_l2 [F] int32)`` — word id per
@@ -228,8 +247,7 @@ def transform(vocab: Vocabulary, desc, valid):
     return word, node_l2
 
 
-@_jit_with_static_vocab
-def bow_vector(vocab: Vocabulary, word_ids):
+def _bow_vector_impl(vocab: Vocabulary, word_ids):
     """Dense L1-normalized tf-idf vector ``[W]`` from per-feature word ids."""
     W = vocab.n_words
     ok = word_ids >= 0
@@ -239,6 +257,26 @@ def bow_vector(vocab: Vocabulary, word_ids):
     v = tf * vocab.word_weight
     s = jnp.sum(v)
     return v / jnp.where(s > 0, s, 1.0)
+
+
+transform = _jit_with_static_vocab(_transform_impl)
+bow_vector = _jit_with_static_vocab(_bow_vector_impl)
+
+
+@_jit_with_static_vocab
+def transform_all(vocab: Vocabulary, descs, valids):
+    """Batched :func:`transform` over a keyframe axis: ``[K, F, 8]`` +
+    ``[K, F]`` -> ``(word_ids [K, F], node_l2 [K, F])`` in ONE dispatch
+    (the vocabulary-swap rebuild used to loop 2 dispatches per keyframe)."""
+    return jax.vmap(
+        lambda d, v: _transform_impl(vocab, d, v)
+    )(descs, valids)
+
+
+@_jit_with_static_vocab
+def bow_vectors(vocab: Vocabulary, word_ids):
+    """Batched :func:`bow_vector`: ``[K, F]`` -> ``[K, W]``."""
+    return jax.vmap(lambda w: _bow_vector_impl(vocab, w))(word_ids)
 
 
 def bow_score(v1, v2):

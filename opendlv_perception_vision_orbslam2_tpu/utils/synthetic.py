@@ -30,9 +30,27 @@ class SyntheticWorld(NamedTuple):
     patterns: jnp.ndarray     # [M, (2R+1)^2] per-point random sprite texture
 
 
+
+
+def _sprite_patterns(rng, n_points: int, sprite_r: int, coarse: int):
+    """Band-limited random sprite textures [n, (2r+1)^2]: coarse random
+    grid bilinearly upsampled (white noise would alias under sub-pixel
+    splatting and destabilize keypoints; smooth gradients survive them)."""
+    side = 2 * sprite_r + 1
+    base = rng.uniform(40.0, 250.0, (n_points, coarse, coarse)).astype(np.float32)
+    t = np.linspace(0.0, coarse - 1.0, side)
+    i0 = np.clip(np.floor(t).astype(np.int64), 0, coarse - 2)
+    f = (t - i0).astype(np.float32)
+    rows = (1 - f)[None, :, None] * base[:, i0, :] + f[None, :, None] * base[:, i0 + 1, :]
+    return (
+        (1 - f)[None, None, :] * rows[:, :, i0] + f[None, None, :] * rows[:, :, i0 + 1]
+    ).reshape(n_points, side * side)
+
+
 def make_world(n_points: int = 600, seed: int = 0,
                x_range=(-25.0, 25.0), y_range=(-4.0, 3.0),
-               z_range=(2.0, 60.0)) -> SyntheticWorld:
+               z_range=(2.0, 60.0), sprite_r: int = SPRITE_R_DEF,
+               coarse: int = 4) -> SyntheticWorld:
     rng = np.random.default_rng(seed)
     pts = np.stack(
         [
@@ -42,22 +60,10 @@ def make_world(n_points: int = 600, seed: int = 0,
         ],
         axis=-1,
     ).astype(np.float32)
-    side = 2 * SPRITE_R_DEF + 1
     # Unique random texture per sprite => distinctive ORB descriptors, like
     # real-world texture (a shared pattern would make every descriptor
-    # ambiguous and unfairly break data association).  Band-limited: white
-    # noise would alias under sub-pixel splatting and destabilize keypoints,
-    # so draw a coarse random grid and upsample it bilinearly.
-    coarse = 4
-    base = rng.uniform(40.0, 250.0, (n_points, coarse, coarse)).astype(np.float32)
-    # bilinear upsample coarse x coarse -> side x side (align_corners)
-    t = np.linspace(0.0, coarse - 1.0, side)
-    i0 = np.clip(np.floor(t).astype(np.int64), 0, coarse - 2)
-    f = (t - i0).astype(np.float32)
-    rows = (1 - f)[None, :, None] * base[:, i0, :] + f[None, :, None] * base[:, i0 + 1, :]
-    patterns = (
-        (1 - f)[None, None, :] * rows[:, :, i0] + f[None, None, :] * rows[:, :, i0 + 1]
-    ).reshape(n_points, side * side)
+    # ambiguous and unfairly break data association).
+    patterns = _sprite_patterns(rng, n_points, sprite_r, coarse)
     return SyntheticWorld(jnp.asarray(pts), jnp.asarray(patterns))
 
 
@@ -99,11 +105,13 @@ def render_view(T_cw, world: SyntheticWorld, height: int, width: int,
     FAST; bilinear splatting preserves sub-pixel position so stereo disparity
     and tracking accuracy are measurable below integer-pixel noise.
     """
+    # sprite radius is derived from the pattern width (static under jit)
+    r = (int(round(world.patterns.shape[1] ** 0.5)) - 1) // 2
     pts_cam = lie.transform_points(T_cw[None], world.points[None])[0]
     uv = lie.project(pts_cam, fx, fy, cx, cy)
     z = pts_cam[:, 2]
-    visible = (z > 0.5) & (uv[:, 0] > SPRITE_R + 1) & (uv[:, 0] < width - SPRITE_R - 2) \
-        & (uv[:, 1] > SPRITE_R + 1) & (uv[:, 1] < height - SPRITE_R - 2)
+    visible = (z > 0.5) & (uv[:, 0] > r + 1) & (uv[:, 0] < width - r - 2) \
+        & (uv[:, 1] > r + 1) & (uv[:, 1] < height - r - 2)
 
     u0 = jnp.floor(uv[:, 0]).astype(jnp.int32)
     v0 = jnp.floor(uv[:, 1]).astype(jnp.int32)
@@ -112,7 +120,7 @@ def render_view(T_cw, world: SyntheticWorld, height: int, width: int,
 
     img = jnp.full((height, width), 12.0, jnp.float32)  # dim flat background
 
-    dy, dx = np.mgrid[-SPRITE_R : SPRITE_R + 1, -SPRITE_R : SPRITE_R + 1]
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
     dy = jnp.asarray(dy.reshape(-1))
     dx = jnp.asarray(dx.reshape(-1))
     val = jnp.where(visible[:, None], world.patterns, 0.0)   # [M, S]
@@ -166,15 +174,16 @@ def render_depth_map(T_cw, world: SyntheticWorld, height: int, width: int,
     Each visible point stamps its camera-frame z over its sprite footprint
     so every FAST corner the gray render produces has a depth sample.
     """
+    r = (int(round(world.patterns.shape[1] ** 0.5)) - 1) // 2
     pts_cam = lie.transform_points(T_cw[None], world.points[None])[0]
     uv = lie.project(pts_cam, fx, fy, cx, cy)
     z = pts_cam[:, 2]
-    visible = (z > 0.5) & (uv[:, 0] > SPRITE_R + 1) & (uv[:, 0] < width - SPRITE_R - 2) \
-        & (uv[:, 1] > SPRITE_R + 1) & (uv[:, 1] < height - SPRITE_R - 2)
+    visible = (z > 0.5) & (uv[:, 0] > r + 1) & (uv[:, 0] < width - r - 2) \
+        & (uv[:, 1] > r + 1) & (uv[:, 1] < height - r - 2)
 
     u0 = jnp.round(uv[:, 0]).astype(jnp.int32)
     v0 = jnp.round(uv[:, 1]).astype(jnp.int32)
-    dy, dx = np.mgrid[-SPRITE_R - 1 : SPRITE_R + 2, -SPRITE_R - 1 : SPRITE_R + 2]
+    dy, dx = np.mgrid[-r - 1 : r + 2, -r - 1 : r + 2]
     ys = v0[:, None] + jnp.asarray(dy.reshape(-1))[None, :]
     xs = u0[:, None] + jnp.asarray(dx.reshape(-1))[None, :]
 
@@ -214,7 +223,12 @@ def circular_trajectory(n_frames: int, radius: float = 15.0,
     poses = []
     for i in range(n_frames):
         th = 2.0 * np.pi * laps * i / n_frames
-        c = np.array([radius * np.sin(th), 0.0, radius * (1.0 - np.cos(th))])
+        # circle center at (radius, 0, 0): start at the origin facing +z,
+        # turning right; camera forward R_wc@[0,0,1] = (sin th, 0, cos th)
+        # equals the velocity direction for every th (a true tangent
+        # heading — position and rotation must share the same phase or the
+        # drive degenerates to sideways motion twice per lap)
+        c = np.array([radius * (1.0 - np.cos(th)), 0.0, radius * np.sin(th)])
         R_wc = np.array(
             [
                 [np.cos(th), 0, np.sin(th)],
@@ -231,22 +245,32 @@ def circular_trajectory(n_frames: int, radius: float = 15.0,
 
 
 def make_ring_world(n_points: int = 1200, radius: float = 15.0,
-                    seed: int = 0) -> SyntheticWorld:
+                    seed: int = 0, r_off_range=(2.5, 12.0),
+                    y_range=(-3.5, 2.5),
+                    lateral_range=(-8.0, 8.0),
+                    sprite_r: int = SPRITE_R_DEF,
+                    coarse: int = 4) -> SyntheticWorld:
     """World points scattered in a band around the circular trajectory so
-    every lap segment (including the revisit) sees dense texture."""
+    every lap segment (including the revisit) sees dense texture.
+
+    The default band suits the 512x256 test camera; KITTI-scale cameras
+    (1241x376, fx=718.9) have a much narrower vertical FOV (+-14.7 deg), so
+    callers at that geometry should push the band deeper (r_off) and
+    flatter (y) or near points clip vertically out of frame."""
     rng = np.random.default_rng(seed)
     th = rng.uniform(0, 2 * np.pi, n_points)
     # points ahead of the tangent direction, mostly inside the close
     # stereo-depth band so every heading has translation-informative
     # texture (far points alone cannot anchor translation)
-    r_off = rng.uniform(2.5, 12.0, n_points)
-    y = rng.uniform(-3.5, 2.5, n_points)
-    cx = radius * np.sin(th)
-    cz = radius * (1 - np.cos(th))
-    # outward + forward scatter relative to the local tangent frame
-    tangent = np.stack([np.cos(th), np.zeros_like(th), np.sin(th)], -1)
-    outward = np.stack([np.sin(th), np.zeros_like(th), -np.cos(th)], -1)
-    lateral = rng.uniform(-8.0, 8.0, n_points)
+    r_off = rng.uniform(*r_off_range, n_points)
+    y = rng.uniform(*y_range, n_points)
+    # anchor on the same circle circular_trajectory drives (center at
+    # (radius, 0, 0)); tangent = drive direction, outward = away from center
+    cx = radius * (1 - np.cos(th))
+    cz = radius * np.sin(th)
+    tangent = np.stack([np.sin(th), np.zeros_like(th), np.cos(th)], -1)
+    outward = np.stack([-np.cos(th), np.zeros_like(th), np.sin(th)], -1)
+    lateral = rng.uniform(*lateral_range, n_points)
     pts = (
         np.stack([cx, np.zeros_like(cx), cz], -1)
         + tangent * r_off[:, None]
@@ -254,27 +278,20 @@ def make_ring_world(n_points: int = 1200, radius: float = 15.0,
     )
     pts[:, 1] = y
     pts = pts.astype(np.float32)
-    side = 2 * SPRITE_R_DEF + 1
-    coarse = 4
-    base = rng.uniform(40.0, 250.0, (n_points, coarse, coarse)).astype(np.float32)
-    t = np.linspace(0.0, coarse - 1.0, side)
-    i0 = np.clip(np.floor(t).astype(np.int64), 0, coarse - 2)
-    f = (t - i0).astype(np.float32)
-    rows = (1 - f)[None, :, None] * base[:, i0, :] + f[None, :, None] * base[:, i0 + 1, :]
-    patterns = (
-        (1 - f)[None, None, :] * rows[:, :, i0] + f[None, None, :] * rows[:, :, i0 + 1]
-    ).reshape(n_points, side * side)
+    patterns = _sprite_patterns(rng, n_points, sprite_r, coarse)
     return SyntheticWorld(jnp.asarray(pts), jnp.asarray(patterns))
 
 
 def render_loop_sequence(config: SystemConfig, n_frames: int = 200,
                          n_points: int = 1200, seed: int = 0,
-                         radius: float = 15.0, laps: float = 2.0):
+                         radius: float = 15.0, laps: float = 2.0,
+                         **world_kwargs):
     """Stereo render of a multi-lap circular drive — the long-sequence
     fixture exercising keyframe culling, capacity recycling and repeated
-    loop closures.  Returns (lefts, rights, T_cw_gt, world)."""
+    loop closures.  Returns (lefts, rights, T_cw_gt, world).
+    ``world_kwargs`` forward to :func:`make_ring_world` (band geometry)."""
     cam = config.camera
-    world = make_ring_world(n_points, radius, seed)
+    world = make_ring_world(n_points, radius, seed, **world_kwargs)
     poses = circular_trajectory(n_frames, radius, laps)
 
     baseline = cam.baseline_m

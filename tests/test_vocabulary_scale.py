@@ -34,10 +34,14 @@ def _write_orbvoc_text(path, vocab: voc.Vocabulary):
         for c in children[i]:
             if c >= 0:
                 parent[c] = i
+    # trained vocabularies are PADDED to the full-tree shape (unreachable
+    # nodes with parent=-1 at the tail); the text format carries only real
+    # nodes, which occupy the dense prefix
+    n_real = int((parent >= 0).sum()) + 1
     # text format ids: node i>=1 maps to line i-1 (root implicit)
     with open(path, "w") as f:
         f.write(f"{vocab.branching} {vocab.levels} 0 0\n")
-        for nid in range(1, n_nodes):
+        for nid in range(1, n_real):
             bytes32 = node_desc[nid].view(np.uint8)
             is_leaf = int(node_word[nid] >= 0)
             w = float(weights[node_word[nid]]) if is_leaf else 0.0
@@ -58,7 +62,10 @@ def test_deep_vocabulary_text_roundtrip(tmp_path):
     path = tmp_path / "ORBvoc.txt"
     _write_orbvoc_text(str(path), vocab)
     loaded = voc.load_text_vocabulary(str(path))
-    assert loaded.n_words == vocab.n_words
+    # trained W is padded to branching**levels; the text file carries the
+    # real leaves only
+    n_real_words = int((np.asarray(vocab.node_word) >= 0).sum())
+    assert loaded.n_words == n_real_words
     assert loaded.branching == vocab.branching
 
     # transforms agree between trained and loaded trees
