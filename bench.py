@@ -156,10 +156,19 @@ def main():
     # ---- FULL SLAM pipeline (keyframes + local BA + fusion + culling +
     # loop detection): the reference's benchmarkable path is the whole
     # system (src/kittirunner.cpp:99-173), not the VO slice --------------
-    full_fps, worst_ms, kf_frames, ate_m, warm_s = bench_full_slam(cfg)
+    # bench capacities: sized so the 1.25-lap circuit never triggers a
+    # capacity-bucket regrow (a regrow recompiles the whole per-frame
+    # program inventory mid-timing)
+    import dataclasses
+    bench_cfg = dataclasses.replace(
+        cfg, initial_keyframes=128, initial_map_points=16384
+    )
+    full_fps, worst_ms, kf_frames, ate_m, warm_s, loops = bench_full_slam(
+        bench_cfg
+    )
 
     baseline_fps = 15.0  # reference real-time operating point (see docstring)
-    metric = "tracked_frames_per_s_full_slam_kitti_sized_stereo"
+    metric = "tracked_frames_per_s_full_slam_kitti_loop_circuit_stereo"
     if cpu_fallback:
         metric += "_CPU_FALLBACK_tpu_backend_unreachable"
     out = {
@@ -171,9 +180,12 @@ def main():
         "vo_latency_ms": round(lat_ms, 1),
         "worst_frame_ms": round(worst_ms, 1),
         "keyframe_frames": kf_frames,
+        "loops_closed": loops,
         "ate_m": round(ate_m, 3),
         "warmup_s": round(warm_s, 1),
     }
+    if loops < 1:
+        out["warning_loops"] = "no loop closure fired in the timed window"
     # accuracy guard: speed must not be bought with accuracy (north-star
     # metric couples ATE RMSE with frames/s, BASELINE.md)
     if ate_m > 0.5:
@@ -181,37 +193,80 @@ def main():
     print(json.dumps(out))
 
 
-def bench_full_slam(cfg, n_frames: int = 56, n_warm: int = 24):
-    # n_warm covers every program variant the steady state reaches: the
-    # bootstrap mapping-stage ramp, the post-vocab-refresh place-recognition
-    # shapes, AND the queued (LBA-skipped) stage — a variant compiled
-    # mid-timing once cost a 9.5 s worst-frame
+def _prewarm_variants(slam, cfg):
+    """Touch every device-program variant the steady state (and the loop
+    closure) reaches, so first-call tracing + compile-cache loads happen in
+    warmup instead of inside the timed window (a variant first touched
+    mid-timing once cost a 9.5 s worst-frame):
+
+    - the queued/no-LBA mapping stage (InterruptBA drain path),
+    - the Sim3 verification + masked-apply program (verify_and_apply),
+    - the incremental post-loop GBA chunk programs.
+
+    Everything here is DISCARDED — the map is functional, so running a
+    stage on it and dropping the output has no effect on SLAM state."""
+    import jax
+
+    from opendlv_perception_vision_orbslam2_tpu.models import slam as slam_mod
+    from opendlv_perception_vision_orbslam2_tpu.models.global_ba import (
+        IncrementalGBA,
+    )
+    from opendlv_perception_vision_orbslam2_tpu.models.loop_closing import (
+        verify_and_apply,
+    )
+
+    slam._try_adopt_mapping(force=True)
+    slot = getattr(slam, "last_kf_slot", 0)
+    m_d, aux_d = slam_mod.mapping_stage(
+        slam.map, slot, cfg,
+        do_triangulate=True, do_fuse=True, do_lba=False, do_cull=True,
+    )
+    jax.block_until_ready(aux_d)
+    if slam.loop_closer is not None and slam.kf_nodes is not None:
+        m_v, valid, _, _ = verify_and_apply(
+            slam.map, slam.kf_nodes, slot, 0, -1, -1,
+            jax.random.PRNGKey(0), cfg, True,
+        )
+        jax.block_until_ready(valid)  # expect-ids never match: map unchanged
+    gba = IncrementalGBA(slam.map, cfg)
+    gba.step()
+    del m_d, gba
+
+
+def bench_full_slam(cfg, n_frames: int = 260, n_warm: int = 36):
     """Steady-state throughput + worst-frame latency of StereoSlam.process
     (tracking + keyframe insertion + triangulation + fusion + local BA +
-    culling + loop detection) on the KITTI-sized synthetic sequence."""
+    culling + loop detection/closure + incremental GBA) on a KITTI-sized
+    CLOSED-CIRCUIT drive: 1.25 laps of a radius-35 m circle, so the timed
+    window contains a REAL loop closure (detection -> Sim3 verification ->
+    essential-graph correction -> incremental GBA) — the reference's whole
+    benchmarkable path including its LoopClosing thread
+    (src/kittirunner.cpp:99-173, src/loopclosing.cpp:49-83)."""
     import jax
 
     from opendlv_perception_vision_orbslam2_tpu.models.slam import StereoSlam
     from opendlv_perception_vision_orbslam2_tpu.utils import synthetic
 
-    print(f"rendering {n_frames} frames for the full-SLAM bench...",
-          file=sys.stderr)
-    lefts, rights, gt_poses, _ = synthetic.render_stereo_sequence(
-        cfg, n_frames=n_frames, n_points=1200, seed=1, step=0.6
+    print(f"rendering {n_frames} loop-circuit frames for the full-SLAM "
+          f"bench...", file=sys.stderr)
+    lefts, rights, gt_poses, _ = synthetic.render_loop_sequence(
+        cfg, n_frames=n_frames, n_points=3200, seed=1,
+        radius=35.0, laps=1.25,
+        r_off_range=(6.0, 30.0), y_range=(-2.5, 2.0),
+        lateral_range=(-14.0, 14.0),
     )
     lefts = jax.device_put(np.asarray(lefts))
     rights = jax.device_put(np.asarray(rights))
 
     slam = StereoSlam(cfg)
-    est_poses = []
     gt_used = []
     # warmup: compiles the tracking step AND the keyframe stage programs
     t0 = time.time()
     for i in range(n_warm):
         T = slam.process(lefts[i], rights[i], timestamp=i / 15.0)
         if T is not None:
-            est_poses.append(np.asarray(T))
             gt_used.append(np.asarray(gt_poses[i]))
+    _prewarm_variants(slam, cfg)
     warm_s = time.time() - t0
     print(f"full-SLAM compile+warmup: {warm_s:.1f}s "
           f"(kfs={slam.n_keyframes})", file=sys.stderr)
@@ -229,17 +284,23 @@ def bench_full_slam(cfg, n_frames: int = 56, n_warm: int = 24):
             # consumers read poses asynchronously (the OD4 publisher)
             pose_handles.append(T)
             gt_used.append(np.asarray(gt_poses[i]))
-    est_poses.extend(np.asarray(jax.device_get(pose_handles)))
+    del pose_handles
     total = sum(times)
     fps = len(times) / total
     worst_ms = max(times) * 1e3
     kf_frames = slam.n_keyframes - kf_before
+    slam.finish()   # settle in-flight verify/GBA so loops_closed is final
 
-    # accuracy alongside throughput (north-star: ATE RMSE + frames/s).
-    # The synthetic gt is expressed in the first frame's camera frame, like
-    # the estimate, so alignment only absorbs the residual gauge.
+    # accuracy alongside throughput (north-star: ATE RMSE + frames/s) on
+    # the RETRO-CORRECTED trajectory: each frame re-expressed through its
+    # reference keyframe's final pose, the reference's trajectory-dump
+    # semantics (SaveTrajectoryKITTI, src/tracking.cpp:1449-1536) — raw
+    # online poses straddle the pre-/post-loop-closure frames and misstate
+    # the accuracy the system actually delivers at dump time.
     from opendlv_perception_vision_orbslam2_tpu.utils.trajectory import ate_rmse
-    ate_m = ate_rmse(est_poses, gt_used, align=True)
+    est_corr = slam.corrected_trajectory()
+    assert len(est_corr) == len(gt_used), (len(est_corr), len(gt_used))
+    ate_m = ate_rmse(est_corr, gt_used, align=True)
     print(
         f"full-SLAM frames/s={fps:.2f} worst-frame={worst_ms:.1f} ms "
         f"median={np.median(times)*1e3:.1f} ms keyframes={kf_frames} "
@@ -247,7 +308,7 @@ def bench_full_slam(cfg, n_frames: int = 56, n_warm: int = 24):
         f"lost={slam.lost} ate={ate_m:.3f} m loops={slam.loops_closed}",
         file=sys.stderr,
     )
-    return fps, worst_ms, kf_frames, ate_m, warm_s
+    return fps, worst_ms, kf_frames, ate_m, warm_s, slam.loops_closed
 
 
 if __name__ == "__main__":

@@ -490,6 +490,18 @@ def correct_loop(m: MapState, cur_slot, cand_slot, T_loop, s_loop,
                                        fix_scale=fix_scale)
     T_new = jnp.where(m.kf_valid[:, None, None], T_new, T_old)
     s_new = jnp.where(m.kf_valid, s_new, 1.0)
+    # divergence-revert guard (same policy as the local BA): a solve that
+    # emits non-finite poses or teleports vertices far outside the map's
+    # extent is discarded wholesale — a partially-applied essential graph
+    # is worse than an uncorrected one
+    extent = jnp.max(jnp.abs(jnp.where(
+        m.kf_valid[:, None], T_old[:, :3, 3], 0.0
+    )))
+    sane = jnp.all(jnp.isfinite(T_new)) & jnp.all(jnp.isfinite(s_new)) & (
+        jnp.max(jnp.abs(T_new[:, :3, 3])) < 100.0 * (extent + 1.0)
+    )
+    T_new = jnp.where(sane, T_new, T_old)
+    s_new = jnp.where(sane, s_new, 1.0)
 
     # correct points through their reference keyframe with the full
     # similarity: p' = S_wc_new[ref] ∘ S_cw_old[ref] (reference CorrectLoop
@@ -608,7 +620,7 @@ class LoopCloser:
         # the tracking path entirely; harvest reads the finished tuple
         from ..utils.host import bg_fetch
 
-        fut = bg_fetch(jax.device_get, handles)
+        fut = bg_fetch(jax.device_get, handles, ready=cands_d.is_ready)
         return {
             "future": fut, "kf_slot": kf_slot, "kf_id": kf_id,
             "run_geo": run_geo,

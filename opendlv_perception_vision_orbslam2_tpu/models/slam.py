@@ -626,6 +626,10 @@ class StereoSlam:
         self.frames_since_kf = 0
         self.ref_kf_tracked = 0
         self.trajectory: list = []
+        # per-frame (ref_kf_slot, ref_kf_id, T_rel) for the retro-corrected
+        # trajectory (reference SaveTrajectoryKITTI semantics)
+        self.traj_ref: list = []
+        self.last_kf_id = -1
         self.lost = False
         self.n_keyframes = 0
         self.frame_idx = 0
@@ -780,12 +784,63 @@ class StereoSlam:
         )
         self.kf_nodes = jnp.where(live[:, None], nodes, -1)
 
-    def _bg_fetch(self, fn, *args):
+    def _bg_fetch(self, fn, *args, ready=None):
         """Run a blocking device->host fetch on a daemon thread; returns a
-        Future (see utils.host.bg_fetch for the daemon-vs-pool rationale)."""
+        Future (see utils.host.bg_fetch for the rationale: daemon vs pool,
+        and the is_ready poll that keeps the tunnel lock free)."""
         from ..utils.host import bg_fetch
 
-        return bg_fetch(fn, *args)
+        return bg_fetch(fn, *args, ready=ready)
+
+    def _log_pose(self, T):
+        """Append a frame pose to the trajectory AND its reference-keyframe
+        relative transform.  The reference saves trajectories by re-chaining
+        each frame through its reference keyframe at SAVE time
+        (SaveTrajectoryKITTI, reference: src/tracking.cpp:1449-1536) so
+        loop-closure / GBA corrections applied after the frame was tracked
+        retro-correct the dumped trajectory; ``corrected_trajectory``
+        reproduces that here."""
+        self.trajectory.append(T)
+        slot, kf_id = self.last_kf_slot_id
+        if slot >= 0:
+            T_rel = T @ lie.inv_T(self.map.kf_T_cw[slot])
+        else:
+            T_rel = T
+        self.traj_ref.append((slot, kf_id, T_rel))
+
+    def _relog_pose(self, T):
+        """Replace the latest logged pose (post-hoc relocalization)."""
+        self.trajectory.pop()
+        self.traj_ref.pop()
+        self._log_pose(T)
+
+    @property
+    def last_kf_slot_id(self):
+        slot = getattr(self, "last_kf_slot", -1)
+        return (slot, self.last_kf_id) if slot is not None else (-1, -1)
+
+    def corrected_trajectory(self):
+        """KITTI-style retro-corrected trajectory: each frame pose
+        re-expressed through its reference keyframe's CURRENT (post-loop,
+        post-GBA) pose.  Frames whose reference keyframe was culled or
+        evicted (slot recycled: id mismatch) fall back to the raw online
+        pose.  One batched device fetch."""
+        if not self.traj_ref:
+            return [np.asarray(T) for T in self.trajectory]
+        rels = np.asarray(jax.device_get(
+            jnp.stack([t[2] for t in self.traj_ref])
+        ))
+        raws = np.asarray(jax.device_get(jnp.stack(list(self.trajectory))))
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_ids = np.asarray(self.map.kf_id)
+        T_kf = np.asarray(self.map.kf_T_cw)
+        out = []
+        for i, (slot, kf_id, _) in enumerate(self.traj_ref):
+            if slot >= 0 and kf_valid[slot] and kf_ids[slot] == kf_id:
+                out.append(rels[i] @ T_kf[slot])
+            else:
+                out.append(raws[i])
+        return out
 
     def _register_keyframe(self, slot: int, kf_id: int):
         """BoW row + node table + loop detection for a new keyframe.
@@ -919,7 +974,8 @@ class StereoSlam:
             self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
         self._verify_pending = {
             "kf_id": kf_id,
-            "fetch": self._bg_fetch(jax.device_get, valid),
+            "fetch": self._bg_fetch(jax.device_get, valid,
+                                    ready=valid.is_ready),
         }
 
     def _service_gba(self):
@@ -1061,7 +1117,8 @@ class StereoSlam:
             # fetch on the worker thread: copy_to_host_async is not honored
             # promptly by the tunneled backend, so an adoption-time
             # np.asarray still paid a full RTT per read (~25 ms each)
-            "fetch": self._bg_fetch(jax.device_get, (aux, slot)),
+            "fetch": self._bg_fetch(jax.device_get, (aux, slot),
+                                    ready=aux.is_ready),
         }
         P = self.map.pt_capacity
         self._pending_vis = jnp.zeros((P,), jnp.int32)
@@ -1135,6 +1192,7 @@ class StereoSlam:
         self._inserts_since_occ = len(self._kf_queue)
         slot = int(slot_np)
         self.last_kf_slot = slot
+        self.last_kf_id = pend["kf_id"]
         self._maybe_resize(extra_kf=len(self._kf_queue))
         self._register_keyframe(slot, pend["kf_id"])
         # drain the insertion queue: REPLAY the queued keyframes onto the
@@ -1237,6 +1295,11 @@ class StereoSlam:
         self.ref_kf_tracked = 0
         self.lost = False
         self.n_keyframes = 0
+        self.last_kf_id = -1
+        # keyframe ids restart at 0 after a reset: old traj_ref entries
+        # could falsely re-anchor to recycled (slot, id) pairs — demote
+        # them to their raw poses
+        self.traj_ref = [(-1, -1, t[2]) for t in self.traj_ref]
         self.last_reloc_frame = -(10 ** 9)
         self._occ = (0, 0)
         self._inserts_since_occ = 0
@@ -1353,7 +1416,7 @@ class StereoSlam:
                     (cur.features.capacity,), jnp.int32
                 )
                 self._try_relocalize(cur)
-                self.trajectory.append(self.T_cw)
+                self._log_pose(self.T_cw)
                 return self.T_cw
             # stereo initialization (reference: src/tracking.cpp:342-395)
             n_depth = int(jnp.sum(cur.features.depth > 0))
@@ -1365,7 +1428,7 @@ class StereoSlam:
             )
             self.last_frame = cur
             self.last_bindings = bindings
-            self.trajectory.append(jnp.eye(4))
+            self._log_pose(jnp.eye(4, dtype=jnp.float32))
             return self.T_cw
 
         out = track_frame_with_map(
@@ -1415,7 +1478,7 @@ class StereoSlam:
         self.last_frame = cur
         self.last_bindings = out.bindings
         self.frames_since_kf += 1
-        self.trajectory.append(T_new)
+        self._log_pose(T_new)
 
         # ---- decision handling -------------------------------------------
         # Healthy steady state: act on the PREVIOUS frame's scalars — the
@@ -1447,7 +1510,8 @@ class StereoSlam:
             # the stats fetch rides the worker thread; next frame's
             # deferred decision reads a finished numpy array
             self._decision_pending = (
-                self._bg_fetch(np.asarray, stats_dev), T_before,
+                self._bg_fetch(np.asarray, stats_dev,
+                               ready=stats_dev.is_ready), T_before,
                 bindings_before, frame_before,
             )
             if pend is not None:
@@ -1487,7 +1551,7 @@ class StereoSlam:
             if self._vo_mode and self._try_relocalize(self.last_frame):
                 self._vo_mode = False
                 self.last_reloc_frame = self.frame_idx
-                self.trajectory[-1] = self.T_cw
+                self._relog_pose(self.T_cw)
             return
         # strict acceptance within the post-reloc window (reference:
         # src/tracking.cpp:800-806: >=50 inliers for 1 s after reloc)
@@ -1580,7 +1644,7 @@ class StereoSlam:
             # next frame's prediction keeps moving with the camera
             if self.last_frame is not None:
                 self.last_frame = self.last_frame._replace(T_cw=self.T_cw)
-            self.trajectory[-1] = self.T_cw
+            self._relog_pose(self.T_cw)
             return
         if self._need_new_keyframe(tracked, n_tracked_close,
                                    n_untracked_close):

@@ -136,6 +136,16 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20,
         diag_fix = jnp.where(free[:, None, None], 0.0, eyeD[None])
         idx = jnp.arange(K)
         H = H.at[idx, :, idx, :].add(diag_fix + 1e-6 * eyeD[None])
+        # Levenberg-Marquardt damping RELATIVE to the diagonal (g2o runs LM
+        # here too, reference: src/orboptimizer.cpp:799-840).  Pure GN with
+        # only an absolute 1e-6 floor diverged on TPU: long chains of
+        # degree-2 vertices make the [7K, 7K] system ill-conditioned enough
+        # that the f32 LU solve emits garbage steps for exactly those
+        # vertices (observed |t| ~ 1e36 on-device while the same solve was
+        # fine on the CPU backend's LU).
+        diag = H.reshape(K * D, K * D).diagonal().reshape(K, D)
+        H = H.at[idx[:, None], jnp.arange(D)[None, :],
+                 idx[:, None], jnp.arange(D)[None, :]].add(1e-3 * diag)
         if fix_scale:
             # pin every sigma component (reference _fix_scale: Sim3 vertices
             # with the scale coordinate frozen)

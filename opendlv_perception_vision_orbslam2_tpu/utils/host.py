@@ -6,9 +6,18 @@ import threading
 from concurrent.futures import Future
 
 
-def bg_fetch(fn, *args) -> Future:
+def bg_fetch(fn, *args, ready=None) -> Future:
     """Run a blocking device->host fetch on a DAEMON thread; returns a
     Future.
+
+    ``ready``: optional no-arg callable (e.g. ``some_array.is_ready``);
+    the worker POLLS it before calling ``fn``.  A device_get that blocks
+    waiting on device compute holds the tunnel client's lock for the whole
+    wait, stalling the main thread's own dispatches for ~the compute time
+    (measured: ~98 ms main-thread stalls per keyframe while the worker
+    waited on the mapping stage).  Polling is_ready sleeps GIL-free until
+    the value exists, so the eventual fetch only holds the lock for the
+    transfer itself.
 
     Why not ThreadPoolExecutor: its workers are non-daemon and joined at
     interpreter exit — a fetch still in flight when the process ends then
@@ -16,10 +25,15 @@ def bg_fetch(fn, *args) -> Future:
     client destructor).  Daemon threads die with the process instead; the
     consumers only ever read futures that are ``done()`` (or explicitly
     block in ``finish()`` while the runtime is alive)."""
+    import time
+
     fut: Future = Future()
 
     def run():
         try:
+            if ready is not None:
+                while not ready():
+                    time.sleep(0.002)
             fut.set_result(fn(*args))
         except BaseException as e:  # surfaced at .result()
             fut.set_exception(e)

@@ -63,11 +63,18 @@ def main():
     lost = 0
     lost_frames = []
     inliers = []
+    slow = []
+    kfs_prev = slam.n_keyframes
     for i in range(n_warm, n_frames):
+        healthy_pre = getattr(slam, "_pipeline_healthy", None)
         t1 = time.time()
         T = slam.process(lefts[i], rights[i], timestamp=i / 15.0)
         dt = time.time() - t1
         times.append(dt)
+        if dt > 0.08:
+            slow.append((i, round(dt*1e3), slam.n_keyframes - kfs_prev,
+                         healthy_pre, slam._verify_pending is not None))
+        kfs_prev = slam.n_keyframes
         if slam.lost:
             lost += 1
             lost_frames.append(i)
@@ -91,6 +98,8 @@ def main():
     print("top frames (idx_in_timed, ms):",
           [(int(i), round(float(ts[i]), 1)) for i in order], file=sys.stderr)
     print("loops closed at:", loop_at, file=sys.stderr)
+    print("slow frames (i, ms, kf_delta, healthy_pre, verify_inflight):",
+          slow, file=sys.stderr)
     print("lost frames:", lost_frames, file=sys.stderr)
     print("inliers:", inliers, file=sys.stderr)
 
