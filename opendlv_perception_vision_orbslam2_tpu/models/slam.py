@@ -704,21 +704,31 @@ class StereoSlam:
         self.vocab = voc.train_vocabulary(descs, branching=10, levels=4,
                                           seed=0)
 
+    # keyframes between starting a retrain and swapping it in: the swap
+    # happens at a FIXED keyframe count, not "whenever the thread happens
+    # to finish" — thread-timing-dependent swap keyframes made the BoW rows
+    # (and therefore loop detections) differ run to run (observed: a churn
+    # drive closing 2 loops or 0 depending on host load)
+    VOCAB_SWAP_DELAY = 4
+
     def _maybe_refresh_vocab(self):
         """Periodic vocabulary retrain, off the tracking path.
 
         The k-means train is pure-numpy host work and runs in a BACKGROUND
         thread; the finished vocabulary is swapped in (BoW rows + node
-        tables rebuilt in one batched scatter) at the next registration
-        after the thread completes — the tracker never blocks on it."""
+        tables rebuilt in one batched dispatch) at a DETERMINISTIC keyframe
+        count (`trigger + VOCAB_SWAP_DELAY`), joining the thread if it is
+        somehow still running — determinism is worth a rare bounded wait."""
         if self.db is None:
             return
         import threading
 
         t = getattr(self, "_vocab_thread", None)
         if t is not None:
-            if t.is_alive():
+            if self.n_keyframes < getattr(self, "_vocab_swap_at", 0):
                 return
+            if t.is_alive():
+                t.join()
             self._vocab_thread = None
             vocab = getattr(self, "_vocab_result", None)
             self._vocab_result = None
@@ -735,6 +745,7 @@ class StereoSlam:
             self.map.kf_desc, self.map.kf_feat_valid, self.map.kf_valid,
         )
         self._next_vocab_refresh = max(due * 4, self.n_keyframes + 1)
+        self._vocab_swap_at = self.n_keyframes + self.VOCAB_SWAP_DELAY
         seed = int(due)
         pool_cap = self.VOCAB_POOL_KFS
 
@@ -753,6 +764,12 @@ class StereoSlam:
             pool = descs[feat_ok]
             if len(pool) < 1000:
                 return
+            # cap the k-means pool: past ~24k descriptors extra samples
+            # barely move the centroids but the Hamming-assignment cost is
+            # linear in pool size, and on a small host the training thread
+            # competes with the tracking loop for cores
+            if len(pool) > 24000:
+                pool = pool[rng.choice(len(pool), 24000, replace=False)]
             self._vocab_result = voc.train_vocabulary(
                 pool, branching=10, levels=4, seed=seed
             )

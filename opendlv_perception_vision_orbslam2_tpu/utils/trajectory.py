@@ -47,24 +47,31 @@ def trajectory_positions(poses_T_cw) -> np.ndarray:
     return np.stack(out)
 
 
-def ate_rmse(poses_est, poses_gt, align: bool = True) -> float:
+def ate_rmse(poses_est, poses_gt, align: bool = True,
+             with_scale: bool = False) -> float:
     """Absolute trajectory error RMSE in meters.
 
     With ``align``, applies the standard SE(3) Umeyama alignment (no scale —
     stereo has metric scale) before computing the RMSE, like evo/KITTI devkit
-    which the reference defers to (SURVEY.md section 6).
-    """
+    which the reference defers to (SURVEY.md section 6).  ``with_scale``
+    switches to the Sim(3) Umeyama alignment — the monocular convention
+    (evo ``-as``): a mono trajectory's global scale is unobservable, so
+    accuracy is judged after solving it."""
     p_est = trajectory_positions(poses_est)
     p_gt = trajectory_positions(poses_gt)
     assert p_est.shape == p_gt.shape
     if align and len(p_est) >= 3:
         mu_e, mu_g = p_est.mean(0), p_gt.mean(0)
         E, G = p_est - mu_e, p_gt - mu_g
-        U, _, Vt = np.linalg.svd(E.T @ G)
+        U, sv, Vt = np.linalg.svd(E.T @ G)
         S = np.eye(3)
         if np.linalg.det(U @ Vt) < 0:
             S[2, 2] = -1
         R = Vt.T @ S @ U.T
-        p_est = (p_est - mu_e) @ R.T + mu_g
+        s = 1.0
+        if with_scale:
+            var_e = (E ** 2).sum() / len(E)
+            s = float(np.trace(np.diag(sv) @ S) / len(E) / var_e)
+        p_est = s * (p_est - mu_e) @ R.T + mu_g
     err = np.linalg.norm(p_est - p_gt, axis=1)
     return float(np.sqrt(np.mean(err ** 2)))
