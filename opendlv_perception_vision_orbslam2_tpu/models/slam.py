@@ -1212,6 +1212,19 @@ class StereoSlam:
         self.last_kf_id = pend["kf_id"]
         self._maybe_resize(extra_kf=len(self._kf_queue))
         self._register_keyframe(slot, pend["kf_id"])
+        # Sim3 verification slot: dispatch a pending loop candidate NOW —
+        # the pipeline is momentarily idle (stage just adopted, next stage
+        # not yet dispatched), and this is the ONLY guaranteed idle point
+        # at high keyframe cadence.  Relying on _try_harvest_loop's
+        # opportunistic gate alone starved verification: with a keyframe
+        # every ~2 frames the mapping pipeline is never idle there and a
+        # 200-frame churn drive verified exactly ONE candidate (and closed
+        # zero loops) while the same drive closes 2+ when verification gets
+        # this adoption-time slot.
+        if (self._verify_todo is not None and self._verify_pending is None
+                and self.loop_closer is not None):
+            det, self._verify_todo = self._verify_todo, None
+            self._dispatch_verify(det)
         # drain the insertion queue: REPLAY the queued keyframes onto the
         # settled map (see _dispatch_keyframe), then start the next mapping
         # stage; LBA only when the backlog is clear (InterruptBA semantics)
@@ -1412,11 +1425,16 @@ class StereoSlam:
         self.frame_idx += 1
         # adopt a finished async mapping stage before tracking (non-blocking)
         self._try_adopt_mapping()
-        # harvest loop detection only on a settled map: an in-flight
-        # mapping stage's output replaces self.map wholesale at adoption,
-        # which would silently erase a just-applied loop correction
-        if not self.mapping_busy and not self._kf_queue:
-            self._try_harvest_loop()
+        # drive the loop-closing pipeline.  Detection consumption (phase 1)
+        # and verdict consumption (phase 3) never touch the map, so they
+        # are safe at any pipeline state; the map-mutating verify DISPATCH
+        # (phase 2) gates itself on an idle mapping pipeline and also gets
+        # a guaranteed slot at every stage adoption.  (An earlier
+        # settled-map guard HERE starved the whole pipeline at high
+        # keyframe cadence: with a keyframe every ~2 frames the mapping
+        # stage is never idle at this point, detections piled up unread,
+        # and a 200-frame churn drive verified exactly one candidate.)
+        self._try_harvest_loop()
         # auto-reset if lost right after bootstrap (reference:
         # src/tracking.cpp:305-313: lost with <=5 keyframes => full reset)
         if self.lost and self.last_frame is not None and self.n_keyframes <= 5:

@@ -27,7 +27,21 @@ def bg_fetch(fn, *args, ready=None) -> Future:
     block in ``finish()`` while the runtime is alive)."""
     import time
 
+    import jax
+
     fut: Future = Future()
+
+    if jax.default_backend() == "cpu":
+        # The XLA:CPU runtime ABORTS under a concurrent device_get
+        # (worker thread) + dispatch (main thread) — observed as fatal
+        # SIGABRT/SIGSEGV deep in test suites.  A worker buys nothing on
+        # CPU anyway (the fetch it hides is the TPU tunnel's ~25 ms RTT),
+        # so fetch synchronously: deterministic and crash-free.
+        try:
+            fut.set_result(fn(*args))
+        except BaseException as e:
+            fut.set_exception(e)
+        return fut
 
     def run():
         try:
